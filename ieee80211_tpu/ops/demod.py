@@ -1,0 +1,220 @@
+"""Batched OFDM demodulation ops: FFT, equalize, pilot tracking, LLR demap.
+
+TPU-native re-design of the reference per-symbol demod loop
+(/root/reference/lib/demod_impl.cc:279-314 and tools/pktRxExample.py:225-434):
+all symbols of all packets are processed as one [batch, nSym, nFFT] tensor —
+FFT, ZF equalization, pilot common-phase tracking and piecewise-linear LLR
+extraction are fused elementwise ops over that tensor, with the per-symbol
+pilot polarity precomputed (closed form) instead of carried as state.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..specs import BW, F, M, Mod, tables
+from ..specs import interleaver as ilv
+
+# ---------------------------------------------------------------------------
+# FFT helpers (shifted-grid convention, matching specs/tables.py)
+# ---------------------------------------------------------------------------
+
+
+def fft_syms(x: jnp.ndarray) -> jnp.ndarray:
+    """Time symbols [..., N] -> shifted-order frequency grid [..., N]."""
+    return jnp.fft.fftshift(jnp.fft.fft(x, axis=-1), axes=-1)
+
+
+def extract_symbol_windows(x: jnp.ndarray, start: jnp.ndarray, n_sym: int,
+                           nfft: int = 64, gi: int = 16,
+                           shift: int = 8,
+                           stride: Optional[int] = None) -> jnp.ndarray:
+    """Slice per-packet OFDM symbol windows.
+
+    x: [B, N] packet-aligned samples; start: [B] index of the first symbol's
+    GI. Takes each symbol's data window shifted `shift` samples into the GI
+    (reference C8P_SYM_SAMP_SHIFT, lib/cloud80211phy.h:33) which is immune
+    to small late-timing errors; the induced linear phase cancels against a
+    channel estimate taken with the same shift.
+
+    stride: symbol-to-symbol spacing; defaults to gi+nfft. The legacy LTF's
+    two repetitions share one double-GI, so they are extracted with
+    stride=nfft.
+    Returns [B, n_sym, nfft].
+    """
+    sym = stride if stride is not None else (nfft + gi)
+    offs = start[:, None] + gi - shift + sym * jnp.arange(n_sym)[None, :]
+
+    def take(xb, ob):
+        return jax.vmap(lambda o: jax.lax.dynamic_slice(xb, (o,), (nfft,)))(ob)
+
+    return jax.vmap(take)(x, offs)
+
+
+# ---------------------------------------------------------------------------
+# pilot tracking
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def pilot_refs(mod: Mod, n_sym: int, pidx0: int, iss: int = 0) -> np.ndarray:
+    """Expected pilot values per symbol [n_sym, nSP] (polarity + rotation)."""
+    from ..tx.golden import pilot_sequence
+    return pilot_sequence(mod, n_sym, iss, pidx0=pidx0)
+
+
+def pilot_phase(sym_grid: jnp.ndarray, pilot_ref: jnp.ndarray,
+                pilot_bins: np.ndarray) -> jnp.ndarray:
+    """Common-phase unit phasor per symbol from pilot tones.
+
+    sym_grid: [B, S, nfft] equalized grids; pilot_ref: [S, nP];
+    returns [B, S] unit phasors (divide symbols by it to de-rotate).
+    """
+    pil = sym_grid[..., jnp.asarray(pilot_bins)]          # [B, S, nP]
+    acc = jnp.sum(pil * jnp.conj(pilot_ref)[None], axis=-1)
+    mag = jnp.abs(acc)
+    return acc / jnp.where(mag > 0, mag, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# LLR demap (piecewise-linear folds, parity with procSymQamToLlr:
+# lib/cloud80211phy.cc:2090-2148)
+# ---------------------------------------------------------------------------
+
+
+def demap_llr(eq: jnp.ndarray, mod: M) -> jnp.ndarray:
+    """Equalized data tones [..., nSD] -> soft bits [..., nSD*nBPSCS]."""
+    if mod == M.BPSK:
+        return jnp.real(eq)
+    if mod == M.QBPSK:
+        return jnp.imag(eq)
+    nb_axis = {M.QPSK: 1, M.QAM16: 2, M.QAM64: 3, M.QAM256: 4,
+               M.QAM1024: 5}[mod]
+    kmod = {M.QPSK: np.sqrt(2.0), M.QAM16: np.sqrt(10.0),
+            M.QAM64: np.sqrt(42.0), M.QAM256: np.sqrt(170.0),
+            M.QAM1024: np.sqrt(682.0)}[mod]
+    v = eq * kmod
+    levels = []
+    for axis in (jnp.real(v), jnp.imag(v)):
+        l = axis
+        levels.append([l])
+        for k in range(1, nb_axis):
+            l = (1 << (nb_axis - k)) - jnp.abs(l)
+            levels[-1].append(l)
+    # bit order: I-axis bits then Q-axis bits per subcarrier
+    stacked = jnp.stack(levels[0] + levels[1], axis=-1)   # [..., nSD, 2*nb]
+    return stacked.reshape(eq.shape[:-1] + (-1,))
+
+
+# ---------------------------------------------------------------------------
+# channel estimation / equalization (SISO)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def ltf_ref_grid(bw: BW, legacy: bool) -> np.ndarray:
+    """LTF reference values on the shifted grid (zeros on null tones)."""
+    nfft = tables.NFFT[bw]
+    lim = {BW.BW20: 26 if legacy else 28, BW.BW40: 58, BW.BW80: 122}[bw]
+    seq = tables.LTF_L[bw] if legacy else (
+        tables.LTF_HT[bw] if bw != BW.BW80 else tables.LTF_VHT[bw])
+    grid = np.zeros(nfft, dtype=np.complex128)
+    grid[nfft // 2 - lim: nfft // 2 + lim + 1] = seq
+    return grid
+
+
+def legacy_chan_est(ltf_syms: jnp.ndarray, bw: BW = BW.BW20) -> jnp.ndarray:
+    """[B, 2, nfft] L-LTF freq symbols -> [B, nfft] channel (1.0 on nulls)."""
+    ref = jnp.asarray(ltf_ref_grid(bw, True))
+    avg = jnp.mean(ltf_syms, axis=1)
+    safe_ref = jnp.where(ref == 0, 1.0, ref)
+    chan = avg / safe_ref
+    return jnp.where(ref == 0, 1.0 + 0j, chan)
+
+
+def nonlegacy_chan_est_siso(ltf_sym: jnp.ndarray, bw: BW = BW.BW20
+                            ) -> jnp.ndarray:
+    """[B, nfft] single HT/VHT-LTF freq symbol -> [B, nfft] channel."""
+    ref = jnp.asarray(ltf_ref_grid(bw, False))
+    safe_ref = jnp.where(ref == 0, 1.0, ref)
+    chan = ltf_sym / safe_ref
+    return jnp.where(ref == 0, 1.0 + 0j, chan)
+
+
+def equalize(grids: jnp.ndarray, chan: jnp.ndarray) -> jnp.ndarray:
+    """ZF equalize [B, S, nfft] by per-packet channel [B, nfft]."""
+    return grids / chan[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# 2x2 MIMO channel estimation / equalization
+# ---------------------------------------------------------------------------
+
+
+def mimo_chan_est_2x2(ltf_syms: jnp.ndarray, bw: BW = BW.BW20,
+                      vht: bool = True) -> jnp.ndarray:
+    """2x2 channel from the two HT/VHT-LTF symbols on both RX chains.
+
+    ltf_syms: [B, nRx=2, nLtf=2, nfft] frequency-domain LTF symbols.
+    Returns H [B, nfft, nRx, nSTS]. Uses the P-matrix combining
+    H[:, :, r, s] = sum_l P[s, l] * Y[r, l] / (ref * nLtf); on VHT pilot
+    tones the transmitter sends R (P row 0) on every stream, so the
+    per-stream estimate there is replaced by interpolation later.
+    (Math parity: lib/demod2_impl.cc:374-409.)
+    """
+    ref = jnp.asarray(ltf_ref_grid(bw, False))
+    safe_ref = jnp.where(ref == 0, 1.0, ref)
+    p = jnp.asarray(tables.P_LTF_4[:2, :2])              # [nSTS, nLtf]
+    h = jnp.einsum("sl,brlk->bkrs", p, ltf_syms) / 2.0
+    h = h / safe_ref[None, :, None, None]
+    return jnp.where((ref == 0)[None, :, None, None], 0.0 + 0j, h)
+
+
+def mimo_equalize_2x2(grids: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """ZF (pseudo-inverse) equalization of 2-stream symbols.
+
+    grids: [B, nRx=2, S, nfft]; h: [B, nfft, nRx, nSTS].
+    Returns x_hat [B, nSTS=2, S, nfft] = (H^H H)^-1 H^H y per tone.
+    (Math parity: lib/demod2_impl.cc:410-428, 515-518.)
+    """
+    y = jnp.moveaxis(grids, 1, -1)                        # [B, S, nfft, nRx]
+    hh = jnp.conj(jnp.swapaxes(h, -1, -2))                # [B, nfft, nSTS, nRx]
+    gram = jnp.einsum("bksr,bkrt->bkst", hh, h)           # [B, nfft, 2, 2]
+    a = gram[..., 0, 0]
+    b_ = gram[..., 0, 1]
+    c = gram[..., 1, 0]
+    d = gram[..., 1, 1]
+    det = a * d - b_ * c
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12 + 0j)
+    inv = jnp.stack([jnp.stack([d, -b_], -1), jnp.stack([-c, a], -1)], -2)
+    inv = inv / det[..., None, None]                      # [B, nfft, 2, 2]
+    w = jnp.einsum("bkst,bktr->bksr", inv, hh)            # [B, nfft, 2, nRx]
+    return jnp.einsum("bksr,bGkr->bsGk", w, y)            # [B,2,S,nfft]
+
+
+# ---------------------------------------------------------------------------
+# full data-field demod (per static config)
+# ---------------------------------------------------------------------------
+
+
+def demod_data_siso(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
+                    n_sym: int, pidx0: int) -> jnp.ndarray:
+    """Equalize+track+demap+deinterleave the DATA field.
+
+    sym_grids: [B, n_sym, nfft] raw FFT grids; chan: [B, nfft].
+    Returns LLRs in coded-bit order [B, n_sym * nCBPSS].
+    """
+    legacy = mod.fmt == F.L
+    key = (mod.bw, legacy)
+    eq = equalize(sym_grids, chan)
+    pref = jnp.asarray(pilot_refs(mod, n_sym, pidx0))
+    ph = pilot_phase(eq, pref, tables.PILOT_GRID[key])
+    eq = eq / ph[..., None]
+    data = eq[..., jnp.asarray(tables.DATA_GRID[key])]    # [B, S, nSD]
+    llr = demap_llr(data, mod.mod)                        # [B, S, nCBPSS]
+    perm = jnp.asarray(ilv.rx_perm(mod, 0))
+    return llr[..., perm].reshape(llr.shape[0], -1)

@@ -1,0 +1,329 @@
+"""Batched SISO receiver: sync -> CFO -> SIG parse -> demod -> Viterbi -> MPDU.
+
+TPU-native re-design of the reference RX stack (SURVEY.md §3.1: trigger ->
+sync -> signal -> demod -> decode, lib/*_impl.cc): instead of streaming
+blocks with tags, a capture is decoded as a batch of packet-aligned windows
+through two jit programs:
+
+  * `sig_parse` — config-independent: LTF sync, CFO, L-SIG + HT-SIG/VHT-SIG-A
+    (and VHT-SIG-B) decode. Same shapes for every packet; one compilation.
+  * `SisoDataDecoder` — specialized per (format, mcs, nSym): the DATA-field
+    pipeline (FFT/equalize/track/demap/deinterleave/Viterbi/descramble) with
+    static shapes so XLA fuses it into a few kernels.
+
+Byte-level tail work (packing, FCS, A-MPDU walk) is host-side numpy
+(parity: lib/decode_impl.cc:304-520).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mac import deaggregate_ht, deaggregate_vht
+from ..specs import BW, CR, F, M, Mod, tables
+from ..specs import interleaver as ilv
+from ..specs.crc import fcs_ok
+from ..specs.modulation import (ppdu_params_aggregate, ppdu_params_nonaggregate)
+from ..specs.tables import crc8_bits
+from ..ops import coding, demod, sync
+
+# field offsets relative to the LTF data start (= STF start + 192 @20 MHz)
+OFF_LSIG = 128
+OFF_NLSIG = 208      # HT-SIG / VHT-SIG-A first symbol GI
+OFF_NLSTF = 368
+OFF_NLLTF = 448
+
+
+def _bits_to_uint(bits: jnp.ndarray, lo: int, n: int) -> jnp.ndarray:
+    w = (1 << jnp.arange(n, dtype=jnp.int32))
+    return jnp.sum(bits[..., lo:lo + n].astype(jnp.int32) * w, axis=-1)
+
+
+def _crc8_ok(bits48: jnp.ndarray) -> jnp.ndarray:
+    """Batched SIG CRC-8 check: crc8(bits[0:34]) == bits[34:42].
+
+    The bit-serial CRC is expressed as a GF(2) matrix product with a
+    precomputed [34, 8] influence matrix (closed form, no scan).
+    """
+    mat, const = _crc8_matrix()
+    calc = (bits48[..., :34].astype(jnp.int32) @ jnp.asarray(mat)
+            + jnp.asarray(const)) % 2
+    return jnp.all(calc == bits48[..., 34:42].astype(jnp.int32), axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _crc8_matrix():
+    """CRC-8 of 34 bits as affine map over GF(2): out = M^T b + c."""
+    base = np.asarray(crc8_bits([0] * 34), dtype=np.int64)
+    mat = np.zeros((34, 8), dtype=np.int64)
+    for i in range(34):
+        v = [0] * 34
+        v[i] = 1
+        mat[i] = (np.asarray(crc8_bits(v)) + base) % 2
+    return mat, base
+
+
+# ---------------------------------------------------------------------------
+# SIG parsing (config-independent jit program)
+# ---------------------------------------------------------------------------
+
+SIGPARSE_WIN = 1040  # samples consumed from t0: covers preamble+SIGs+slack
+
+
+@partial(jax.jit, static_argnames=("n_lag",))
+def sig_parse(x: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176):
+    """Parse the preamble of packets at approximate STF starts t0.
+
+    x: [B, N] complex64 capture windows; t0: [B] int32.
+    Returns a dict of per-packet metadata (all [B]-shaped):
+    ltf_start, cfo_rad, snr_db, lsig_ok, l_mcs, l_len, ht_ok, vht_ok,
+    ht_sig_bits [B,48], vht_siga_bits [B,48], vhtsigb LLRs for later use.
+    """
+    cfo_c = sync.coarse_cfo(x, t0)
+    ltf_start, cfo, snr = sync.ltf_sync(x, t0, cfo_c, n_lag=n_lag)
+    y = sync.apply_cfo_correction(x, cfo)
+
+    ltf_t = demod.extract_symbol_windows(y, ltf_start - 16, 2, gi=16, shift=8,
+                                         stride=64)
+    ltf_f = demod.fft_syms(ltf_t)
+    chan = demod.legacy_chan_est(ltf_f)                  # [B, 64]
+
+    def sig_llr(start, n_sym, pidx0):
+        g = demod.fft_syms(demod.extract_symbol_windows(y, start, n_sym))
+        eq = demod.equalize(g, chan)
+        pref = jnp.asarray(
+            tables.PILOT_L[None]
+            * tables.PILOT_POLARITY[pidx0:pidx0 + n_sym, None])
+        ph = demod.pilot_phase(eq, pref, tables.PILOT_GRID[(BW.BW20, True)])
+        eq = eq / ph[..., None]
+        return eq[..., jnp.asarray(tables.DATA_GRID[(BW.BW20, True)])]
+
+    perm = jnp.asarray(ilv.sig_rx_perm())
+    lsig_eq = sig_llr(ltf_start + OFF_LSIG, 1, 0)[:, 0]      # [B, 48]
+    lsig_llr = jnp.real(lsig_eq)[:, perm]
+    lsig_bits = coding.viterbi_decode(lsig_llr, CR.CR12, 24)
+    parity = jnp.sum(lsig_bits[:, :17], axis=-1) % 2
+    lsig_ok = (parity == lsig_bits[:, 17]) & (lsig_bits[:, 3] == 1) \
+        & (lsig_bits[:, 4] == 0)
+    rate4 = lsig_bits[:, :4]
+    rate_tab = jnp.asarray(tables.LEGACY_RATE_BITS)
+    l_mcs = jnp.argmax(jnp.all(rate4[:, None, :] == rate_tab[None], axis=-1),
+                       axis=-1)
+    l_len = _bits_to_uint(lsig_bits, 5, 12)
+
+    # the two post-L-SIG symbols carry HT-SIG (QBPSK) or VHT-SIG-A (BPSK+QBPSK)
+    nl_eq = sig_llr(ltf_start + OFF_NLSIG, 2, 1)             # [B, 2, 48]
+    im = jnp.imag(nl_eq)
+    re = jnp.real(nl_eq)
+    ht_llr = jnp.concatenate([im[:, 0][:, perm], im[:, 1][:, perm]], axis=-1)
+    vht_llr = jnp.concatenate([re[:, 0][:, perm], im[:, 1][:, perm]], axis=-1)
+    ht_bits = coding.viterbi_decode(ht_llr, CR.CR12, 48)
+    vht_bits = coding.viterbi_decode(vht_llr, CR.CR12, 48)
+    ht_ok = _crc8_ok(ht_bits)
+    vht_ok = _crc8_ok(vht_bits)
+
+    return dict(ltf_start=ltf_start, cfo=cfo, snr=snr, lsig_ok=lsig_ok,
+                l_mcs=l_mcs, l_len=l_len, lsig_bits=lsig_bits,
+                ht_ok=ht_ok, vht_ok=vht_ok, ht_bits=ht_bits,
+                vht_bits=vht_bits)
+
+
+def parse_ht_sig(bits: np.ndarray):
+    mcs = int(np.sum(bits[0:7] << np.arange(7)))
+    bw = BW.BW40 if bits[7] else BW.BW20
+    length = int(np.sum(bits[8:24] << np.arange(16)))
+    aggre = bool(bits[27])
+    sgi = bool(bits[31])
+    return mcs, bw, length, aggre, sgi
+
+
+def parse_vht_siga(bits: np.ndarray):
+    bw = BW(int(bits[0]) | (int(bits[1]) << 1))
+    group_id = int(np.sum(bits[4:10] << np.arange(6)))
+    su_nsts = int(np.sum(bits[10:13] << np.arange(3))) + 1
+    partial_aid = int(np.sum(bits[13:22] << np.arange(9)))
+    sgi = bool(bits[24])
+    mcs = int(np.sum(bits[28:32] << np.arange(4)))
+    return bw, group_id, su_nsts, partial_aid, sgi, mcs
+
+
+# ---------------------------------------------------------------------------
+# DATA-field decoding (config-specialized)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PacketResult:
+    fmt: F
+    mcs: int
+    psdu: bytes
+    fcs_ok: bool
+    mpdus: List[bytes]
+    cfo_hz: float
+    snr_db: float
+
+
+class SisoDataDecoder:
+    """Batched DATA-field decoder for one static (Mod, nSym) config."""
+
+    def __init__(self, mod: Mod, n_sym: int, psdu_len: int):
+        self.mod = mod
+        self.n_sym = n_sym
+        self.psdu_len = psdu_len
+        self.n_bits = n_sym * mod.nDBPS
+        self._fn = jax.jit(self._decode)
+
+    def data_offset(self) -> int:
+        """DATA field GI offset relative to the LTF data start."""
+        if self.mod.fmt == F.L:
+            return OFF_LSIG + 80
+        n_ltf = self.mod.nLTF
+        if self.mod.fmt == F.HT:
+            return OFF_NLLTF + 80 * n_ltf
+        return OFF_NLLTF + 80 * n_ltf + 80   # VHT: + SIG-B symbol
+
+    def _decode(self, y: jnp.ndarray, ltf_start: jnp.ndarray):
+        """y: [B, N] CFO-corrected samples; ltf_start: [B]."""
+        mod = self.mod
+        if mod.fmt == F.L:
+            ltf_t = demod.extract_symbol_windows(y, ltf_start - 16, 2,
+                                                 stride=64)
+            chan = demod.legacy_chan_est(demod.fft_syms(ltf_t))
+            pidx0 = 1
+        else:
+            # channel update from the first non-legacy LTF
+            ltf_t = demod.extract_symbol_windows(y, ltf_start + OFF_NLLTF, 1)
+            chan = demod.nonlegacy_chan_est_siso(
+                demod.fft_syms(ltf_t)[:, 0])
+            pidx0 = 3 if mod.fmt == F.HT else 4
+        g = demod.fft_syms(demod.extract_symbol_windows(
+            y, ltf_start + self.data_offset(), self.n_sym))
+        llrs = demod.demod_data_siso(g, chan, mod, self.n_sym, pidx0)
+        bits = coding.viterbi_decode(llrs, mod.cr, self.n_bits)
+        scr = coding.descramble(bits)
+        return scr
+
+    def decode(self, y: jnp.ndarray, ltf_start: jnp.ndarray) -> np.ndarray:
+        """Returns descrambled data bits [B, n_bits] (numpy)."""
+        return np.asarray(self._fn(y, ltf_start))
+
+
+@lru_cache(maxsize=256)
+def get_data_decoder(mod: Mod, n_sym: int, psdu_len: int) -> SisoDataDecoder:
+    return SisoDataDecoder(mod, n_sym, psdu_len)
+
+
+def assemble_packet(fmt: F, mod: Mod, psdu_len: int, scr_bits: np.ndarray,
+                    ampdu: bool, cfo_hz: float = 0.0, snr_db: float = 0.0
+                    ) -> PacketResult:
+    """Service-strip + byte-pack + FCS / A-MPDU deaggregation (host side)."""
+    psdu_bits = scr_bits[16:16 + psdu_len * 8].astype(np.uint8)
+    psdu = np.packbits(psdu_bits, bitorder="little").tobytes()
+    if fmt == F.VHT:
+        mpdus = [s.mpdu for s in deaggregate_vht(psdu) if s.fcs_ok]
+        ok = len(mpdus) > 0
+    elif ampdu:
+        mpdus = [s.mpdu for s in deaggregate_ht(psdu) if s.fcs_ok]
+        ok = len(mpdus) > 0
+    else:
+        ok = fcs_ok(psdu)
+        mpdus = [psdu] if ok else []
+    return PacketResult(fmt=fmt, mcs=mod.mcs, psdu=psdu, fcs_ok=ok,
+                        mpdus=mpdus, cfo_hz=cfo_hz, snr_db=snr_db)
+
+
+# ---------------------------------------------------------------------------
+# capture-level receiver (auto-detecting)
+# ---------------------------------------------------------------------------
+
+
+class SisoReceiver:
+    """Decode packets from capture windows with automatic format detection.
+
+    Workflow parity with examples/rx.grc: trigger (host) -> sig_parse (jit,
+    one compilation) -> per-config SisoDataDecoder (jit cache).
+    """
+
+    def __init__(self, sample_rate_hz: float = 20e6):
+        self.fs = sample_rate_hz
+
+    def decode_capture(self, capture: np.ndarray,
+                       max_window: Optional[int] = None) -> List[PacketResult]:
+        capture = np.asarray(capture, dtype=np.complex64)
+        t0s = sync.find_triggers_np(capture)
+        results: List[PacketResult] = []
+        if len(t0s) == 0:
+            return results
+        win = max_window or (len(capture))
+        # build fixed windows per trigger
+        wlen = min(win, int(np.max(np.diff(np.append(t0s, len(capture))))))
+        wlen = max(wlen, SIGPARSE_WIN + 320)
+        xs = np.zeros((len(t0s), wlen), dtype=np.complex64)
+        for i, t in enumerate(t0s):
+            seg = capture[t:t + wlen]
+            xs[i, :len(seg)] = seg
+        t0 = np.zeros(len(t0s), dtype=np.int32)
+        meta = {k: np.asarray(v) for k, v in
+                sig_parse(jnp.asarray(xs), jnp.asarray(t0)).items()}
+        y = np.asarray(sync.apply_cfo_correction(jnp.asarray(xs),
+                                                 jnp.asarray(meta["cfo"])))
+        for i in range(len(t0s)):
+            r = self._decode_one(y[i], meta, i)
+            if r is not None:
+                results.append(r)
+        return results
+
+    def _decode_one(self, y: np.ndarray, meta, i) -> Optional[PacketResult]:
+        if not bool(meta["lsig_ok"][i]):
+            return None
+        cfo_hz = float(meta["cfo"][i]) * self.fs / (2 * np.pi) * -1.0
+        snr = float(meta["snr"][i])
+        ltf_start = int(meta["ltf_start"][i])
+        l_mcs = int(meta["l_mcs"][i])
+        l_len = int(meta["l_len"][i])
+        fmt = F.L
+        if l_mcs == 0:
+            if bool(meta["vht_ok"][i]):
+                fmt = F.VHT
+            elif bool(meta["ht_ok"][i]):
+                fmt = F.HT
+        if fmt == F.L:
+            mod = Mod(F.L, l_mcs)
+            pp = ppdu_params_nonaggregate(mod, l_len)
+            dec = get_data_decoder(mod, pp.n_sym, l_len)
+            bits = dec.decode(jnp.asarray(y[None]),
+                              jnp.asarray([ltf_start], dtype=np.int32))[0]
+            return assemble_packet(F.L, mod, l_len, bits, False, cfo_hz, snr)
+        if fmt == F.HT:
+            mcs, bw, length, aggre, sgi = parse_ht_sig(meta["ht_bits"][i])
+            if bw != BW.BW20 or mcs > 15 or sgi:
+                return None    # same envelope as the reference GR-TRX
+            nsts = mcs // 8 + 1
+            if nsts != 1:
+                return None    # SISO receiver; 2x2 handled by MimoReceiver
+            mod = Mod(F.HT, mcs, bw, nsts, sgi)
+            pp = ppdu_params_nonaggregate(mod, length)
+            dec = get_data_decoder(mod, pp.n_sym, length)
+            bits = dec.decode(jnp.asarray(y[None]),
+                              jnp.asarray([ltf_start], dtype=np.int32))[0]
+            return assemble_packet(F.HT, mod, length, bits, aggre, cfo_hz, snr)
+        # VHT
+        bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
+        if bw != BW.BW20 or sgi or nsts != 1:
+            return None
+        mod = Mod(F.VHT, mcs, bw, nsts, sgi)
+        # total symbol budget from the legacy length
+        n_sym_l = int(np.ceil((l_len * 8 + 16 + 6) / 24))
+        n_sym = n_sym_l - 2 - 1 - mod.nLTF - 1
+        if n_sym <= 0:
+            return None        # NDP: channel report path (mu/feedback.py)
+        psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
+        dec = get_data_decoder(mod, n_sym, psdu_len)
+        bits = dec.decode(jnp.asarray(y[None]),
+                          jnp.asarray([ltf_start], dtype=np.int32))[0]
+        return assemble_packet(F.VHT, mod, psdu_len, bits, True, cfo_hz, snr)

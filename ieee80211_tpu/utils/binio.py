@@ -1,0 +1,22 @@
+"""Capture file IO: interleaved float32 complex bins.
+
+Format-compatible with the reference (tools/phy80211.py:1097-1123
+genSigBinFile / phy80211header.py:1397 procLoadComplexBin and GNU Radio
+file_source/file_sink).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_complex_bin(path: str) -> np.ndarray:
+    raw = np.fromfile(path, dtype=np.float32)
+    return raw[0::2].astype(np.complex64) + 1j * raw[1::2].astype(np.complex64)
+
+
+def save_complex_bin(path: str, sig: np.ndarray) -> None:
+    sig = np.asarray(sig)
+    out = np.empty(2 * sig.shape[-1], dtype=np.float32)
+    out[0::2] = np.real(sig).astype(np.float32)
+    out[1::2] = np.imag(sig).astype(np.float32)
+    out.tofile(path)
