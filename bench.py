@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: full RX decode throughput (MCS7, 20 MHz) on one TPU chip.
+
+Headline metric (BASELINE.md): PHY samples/sec/chip through the complete
+receive chain — sync, CFO, channel estimation, L-SIG decode, per-symbol
+demod and soft Viterbi — on a batch of VHT MCS7 packets (500 B payload, the
+reference perf_siso.py operating point). vs_baseline is relative to the
+reference's implied real-time operating point of 20 Msps sustained
+(USRP B200 @ 20 MHz, examples/rx.grc).
+
+Prints ONE JSON line.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_batch(batch: int):
+    from ieee80211_tpu.mac import (MacConfig, aggregate_vht, build_udp_mpdu)
+    from ieee80211_tpu.models import RxPipeline
+    from ieee80211_tpu.specs import F, Mod
+    from ieee80211_tpu.specs.modulation import ppdu_params_aggregate
+    from ieee80211_tpu.tx import finalize, gen_ampdu
+
+    cfg = MacConfig(subtype=8, addr1="f4:69:d5:80:0f:a0",
+                    addr2="00:c0:ca:b1:5b:e1", addr3="f4:69:d5:80:0f:a0",
+                    seq=2704)
+    payload = bytes(np.random.default_rng(0).integers(0, 256, 500,
+                                                      dtype=np.uint8))
+    mpdu = build_udp_mpdu(payload, cfg)
+    ampdu = aggregate_vht([mpdu])
+    mod = Mod(F.VHT, 7)
+    pp = ppdu_params_aggregate(mod, len(ampdu))
+    wave = finalize(gen_ampdu(ampdu, mod).waveform, multiplier=0.2,
+                    cfo_hz=15000.0, gap=True, gap_len=64)[0]
+    from ieee80211_tpu.utils import c2r
+    pipe = RxPipeline(mod, pp.n_sym, pp.psdu_len)
+    w = pipe.window_len()
+    seg = wave[64 - 8:]
+    x = np.zeros((batch, w), dtype=np.complex64)
+    x[:, :min(w, len(seg))] = seg[:min(w, len(seg))]
+    t0 = np.zeros(batch, dtype=np.int32)
+    return pipe, c2r(x), t0, mpdu
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    pipe, x, t0, mpdu = build_batch(batch)
+    xd = jnp.asarray(x)
+    td = jnp.asarray(t0)
+
+    out = pipe.step(xd, td)
+    jax.block_until_ready(out)
+    # correctness gate (outside timing): every packet decodes
+    bits = np.asarray(out["bits"][0]).astype(np.uint8)
+    psdu = np.packbits(bits[16:16 + pipe.psdu_len * 8],
+                       bitorder="little").tobytes()
+    from ieee80211_tpu.mac import deaggregate_vht
+    subs = deaggregate_vht(psdu)
+    assert subs and subs[0].fcs_ok and subs[0].mpdu == mpdu, "decode invalid"
+
+    for _ in range(2):
+        jax.block_until_ready(pipe.step(xd, td))
+    t = time.perf_counter()
+    for _ in range(iters):
+        out = pipe.step(xd, td)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t
+
+    samples = batch * x.shape[1] * iters
+    sps = samples / dt
+    baseline_sps = 20e6   # reference real-time operating point: 20 Msps
+    print(json.dumps({
+        "metric": "rx_decode_samples_per_sec_per_chip_vht_mcs7_20mhz",
+        "value": round(sps),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / baseline_sps, 3),
+        "extra": {
+            "batch": batch,
+            "window": int(x.shape[1]),
+            "iters": iters,
+            "packets_per_sec": round(batch * iters / dt),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

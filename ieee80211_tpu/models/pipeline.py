@@ -1,0 +1,108 @@
+"""Fixed-config end-to-end RX pipeline: one jit program from raw samples to
+descrambled bits.
+
+This is the flagship compute graph of the framework (the analog of the
+reference's whole rx.grc flowgraph, SURVEY.md §3.1, collapsed into a single
+XLA program): trigger-relative windows in, MPDU bits out. Everything —
+sync, CFO, channel estimation, L-SIG validation, per-symbol demod and the
+64-state Viterbi — runs batched on-device with static shapes.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import coding, demod, sync
+from ..specs import BW, CR, F, Mod, tables
+from ..specs import interleaver as ilv
+from ..specs.modulation import PpduParams
+
+OFF_LSIG = 128
+OFF_NLLTF = 448
+
+
+def make_rx_step(mod: Mod, n_sym: int):
+    """Build the full RX step for a static (Mod, n_sym) config.
+
+    Returns fn(x2: [B, W, 2] float32 I/Q, t0: [B] int32) -> dict with:
+      bits [B, n_bits] descrambled data bits, ltf_start, cfo, snr, lsig_ok.
+    (Real-valued boundary per utils/riq.py convention.)
+    """
+    from ..utils.riq import r2c
+    n_bits = n_sym * mod.nDBPS
+
+    def data_offset() -> int:
+        if mod.fmt == F.L:
+            return OFF_LSIG + 80
+        if mod.fmt == F.HT:
+            return OFF_NLLTF + 80 * mod.nLTF
+        return OFF_NLLTF + 80 * mod.nLTF + 80
+
+    def step(x2: jnp.ndarray, t0: jnp.ndarray):
+        x = r2c(x2)
+        cfo_c = sync.coarse_cfo(x, t0)
+        ltf_start, cfo, snr = sync.ltf_sync(x, t0, cfo_c)
+        y = sync.apply_cfo_correction(x, cfo)
+
+        ltf_t = demod.extract_symbol_windows(y, ltf_start - 16, 2, stride=64)
+        lchan = demod.legacy_chan_est(demod.fft_syms(ltf_t))
+
+        # L-SIG validation (cheap; always decoded as in the reference RX)
+        g = demod.fft_syms(demod.extract_symbol_windows(
+            y, ltf_start + OFF_LSIG, 1))
+        eq = demod.equalize(g, lchan)
+        pref = jnp.asarray(tables.PILOT_L[None]
+                           * tables.PILOT_POLARITY[0:1, None])
+        ph = demod.pilot_phase(eq, pref, tables.PILOT_GRID[(BW.BW20, True)])
+        eq = (eq / ph[..., None])[:, 0]
+        lsig_llr = jnp.real(
+            eq[:, jnp.asarray(tables.DATA_GRID[(BW.BW20, True)])]
+        )[:, jnp.asarray(ilv.sig_rx_perm())]
+        lsig_bits = coding.viterbi_decode(lsig_llr, CR.CR12, 24)
+        lsig_ok = ((jnp.sum(lsig_bits[:, :17], axis=-1) % 2)
+                   == lsig_bits[:, 17])
+
+        # DATA field
+        if mod.fmt == F.L:
+            chan = lchan
+            pidx0 = 1
+        else:
+            nl = demod.extract_symbol_windows(y, ltf_start + OFF_NLLTF, 1)
+            chan = demod.nonlegacy_chan_est_siso(demod.fft_syms(nl)[:, 0])
+            pidx0 = 3 if mod.fmt == F.HT else 4
+        gd = demod.fft_syms(demod.extract_symbol_windows(
+            y, ltf_start + data_offset(), n_sym))
+        llrs = demod.demod_data_siso(gd, chan, mod, n_sym, pidx0)
+        bits = coding.viterbi_decode(llrs, mod.cr, n_bits)
+        scr = coding.descramble(bits)
+        return dict(bits=scr, ltf_start=ltf_start, cfo=cfo, snr=snr,
+                    lsig_ok=lsig_ok)
+
+    return step
+
+
+class RxPipeline:
+    """Jitted fixed-config receiver with helpers for benchmarking."""
+
+    def __init__(self, mod: Mod, n_sym: int, psdu_len: int):
+        self.mod = mod
+        self.n_sym = n_sym
+        self.psdu_len = psdu_len
+        self.step = jax.jit(make_rx_step(mod, n_sym))
+
+    def window_len(self) -> int:
+        base = 192 + 128 + 80  # sync slack + LTF + L-SIG
+        if self.mod.fmt == F.L:
+            extra = 0
+        elif self.mod.fmt == F.HT:
+            extra = 160 + 80 + 80 * self.mod.nLTF
+        else:
+            extra = 160 + 80 + 80 * self.mod.nLTF + 80
+        return base + extra + 80 * self.n_sym + 80
+
+    def __call__(self, x, t0):
+        return self.step(x, t0)

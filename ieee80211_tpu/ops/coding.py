@@ -29,6 +29,21 @@ def _acs_tables():
 
 
 @lru_cache(maxsize=None)
+def _acs_weights():
+    """Gather-free ACS constants.
+
+    The trellis is a butterfly: predecessors of state s' are
+    p = 2*(s' mod 32) + d, so the metric gather is a reshape+tile, and the
+    branch metric is an outer product with the per-transition output bits:
+    W0[s', d] = out-bit0, W1[s', d] = out-bit1 of transition p -> s'.
+    """
+    po = tables.SV_PREV_OUTPUT2                           # [64, 2]
+    w0 = ((po >> 1) & 1).astype(np.float32)
+    w1 = (po & 1).astype(np.float32)
+    return w0, w1
+
+
+@lru_cache(maxsize=None)
 def depuncture_slots(cr: CR, n_steps: int) -> np.ndarray:
     """Flat indices into a zeroed [n_steps*2] LLR buffer for each surviving
     (punctured-stream) position."""
@@ -59,7 +74,7 @@ def viterbi_decode(llrs: jnp.ndarray, cr: CR, n_bits: int) -> jnp.ndarray:
     ACS over the 64-state trellis as lax.scan; per-step metric renorm keeps
     f32 bounded over long trellises (PSDU<=4095B => ~33k steps).
     """
-    prev_state, prev_out = _acs_tables()
+    w0, w1 = _acs_weights()
     b = llrs.shape[0]
     lp = depuncture(llrs, cr, n_bits)                  # [B, n_bits, 2]
     lp = jnp.moveaxis(lp, 1, 0)                        # [T, B, 2]
@@ -67,13 +82,14 @@ def viterbi_decode(llrs: jnp.ndarray, cr: CR, n_bits: int) -> jnp.ndarray:
     m0 = jnp.full((b, 64), NEG, dtype=jnp.float32).at[:, 0].set(0.0)
 
     def step(m, llr2):
-        l0 = llr2[:, 0]
-        l1 = llr2[:, 1]
-        zeros = jnp.zeros_like(l0)
-        bm = jnp.stack([zeros, l1, l0, l0 + l1], axis=-1)   # [B, 4]
-        cand = (m[:, prev_state.reshape(-1)]
-                + bm[:, prev_out.reshape(-1)]).reshape(b, 64, 2)
-        dec = jnp.argmax(cand, axis=-1).astype(jnp.int8)
+        l0 = llr2[:, 0][:, None, None]
+        l1 = llr2[:, 1][:, None, None]
+        # predecessor metrics via reshape+tile (no gather): states 0..31 and
+        # 32..63 share the same predecessor pairs (2i, 2i+1).
+        m2 = m.reshape(b, 32, 2)
+        mm = jnp.concatenate([m2, m2], axis=1)              # [B, 64, 2]
+        cand = mm + l0 * w0 + l1 * w1
+        dec = (cand[..., 1] > cand[..., 0]).astype(jnp.int8)
         new_m = jnp.max(cand, axis=-1)
         new_m = new_m - jnp.max(new_m, axis=-1, keepdims=True)
         return new_m, dec

@@ -76,14 +76,16 @@ SIGPARSE_WIN = 1040  # samples consumed from t0: covers preamble+SIGs+slack
 
 
 @partial(jax.jit, static_argnames=("n_lag",))
-def sig_parse(x: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176):
+def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176):
     """Parse the preamble of packets at approximate STF starts t0.
 
-    x: [B, N] complex64 capture windows; t0: [B] int32.
+    x2: [B, N, 2] float32 I/Q capture windows; t0: [B] int32.
     Returns a dict of per-packet metadata (all [B]-shaped):
     ltf_start, cfo_rad, snr_db, lsig_ok, l_mcs, l_len, ht_ok, vht_ok,
     ht_sig_bits [B,48], vht_siga_bits [B,48], vhtsigb LLRs for later use.
     """
+    from ..utils.riq import r2c
+    x = r2c(x2)
     cfo_c = sync.coarse_cfo(x, t0)
     ltf_start, cfo, snr = sync.ltf_sync(x, t0, cfo_c, n_lag=n_lag)
     y = sync.apply_cfo_correction(x, cfo)
@@ -187,9 +189,12 @@ class SisoDataDecoder:
             return OFF_NLLTF + 80 * n_ltf
         return OFF_NLLTF + 80 * n_ltf + 80   # VHT: + SIG-B symbol
 
-    def _decode(self, y: jnp.ndarray, ltf_start: jnp.ndarray):
-        """y: [B, N] CFO-corrected samples; ltf_start: [B]."""
+    def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
+                cfo: jnp.ndarray):
+        """x2: [B, N, 2] float32 raw windows; ltf_start, cfo: [B]."""
+        from ..utils.riq import r2c
         mod = self.mod
+        y = sync.apply_cfo_correction(r2c(x2), cfo)
         if mod.fmt == F.L:
             ltf_t = demod.extract_symbol_windows(y, ltf_start - 16, 2,
                                                  stride=64)
@@ -208,9 +213,10 @@ class SisoDataDecoder:
         scr = coding.descramble(bits)
         return scr
 
-    def decode(self, y: jnp.ndarray, ltf_start: jnp.ndarray) -> np.ndarray:
+    def decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
+               cfo: jnp.ndarray) -> np.ndarray:
         """Returns descrambled data bits [B, n_bits] (numpy)."""
-        return np.asarray(self._fn(y, ltf_start))
+        return np.asarray(self._fn(x2, ltf_start, cfo))
 
 
 @lru_cache(maxsize=256)
@@ -263,22 +269,21 @@ class SisoReceiver:
         # build fixed windows per trigger
         wlen = min(win, int(np.max(np.diff(np.append(t0s, len(capture))))))
         wlen = max(wlen, SIGPARSE_WIN + 320)
-        xs = np.zeros((len(t0s), wlen), dtype=np.complex64)
+        xs = np.zeros((len(t0s), wlen, 2), dtype=np.float32)
         for i, t in enumerate(t0s):
             seg = capture[t:t + wlen]
-            xs[i, :len(seg)] = seg
+            xs[i, :len(seg), 0] = np.real(seg)
+            xs[i, :len(seg), 1] = np.imag(seg)
         t0 = np.zeros(len(t0s), dtype=np.int32)
         meta = {k: np.asarray(v) for k, v in
                 sig_parse(jnp.asarray(xs), jnp.asarray(t0)).items()}
-        y = np.asarray(sync.apply_cfo_correction(jnp.asarray(xs),
-                                                 jnp.asarray(meta["cfo"])))
         for i in range(len(t0s)):
-            r = self._decode_one(y[i], meta, i)
+            r = self._decode_one(xs[i], meta, i)
             if r is not None:
                 results.append(r)
         return results
 
-    def _decode_one(self, y: np.ndarray, meta, i) -> Optional[PacketResult]:
+    def _decode_one(self, x2: np.ndarray, meta, i) -> Optional[PacketResult]:
         if not bool(meta["lsig_ok"][i]):
             return None
         cfo_hz = float(meta["cfo"][i]) * self.fs / (2 * np.pi) * -1.0
@@ -296,8 +301,10 @@ class SisoReceiver:
             mod = Mod(F.L, l_mcs)
             pp = ppdu_params_nonaggregate(mod, l_len)
             dec = get_data_decoder(mod, pp.n_sym, l_len)
-            bits = dec.decode(jnp.asarray(y[None]),
-                              jnp.asarray([ltf_start], dtype=np.int32))[0]
+            bits = dec.decode(jnp.asarray(x2[None]),
+                              jnp.asarray([ltf_start], dtype=np.int32),
+                              jnp.asarray([meta["cfo"][i]], dtype=np.float32),
+                              )[0]
             return assemble_packet(F.L, mod, l_len, bits, False, cfo_hz, snr)
         if fmt == F.HT:
             mcs, bw, length, aggre, sgi = parse_ht_sig(meta["ht_bits"][i])
@@ -309,8 +316,10 @@ class SisoReceiver:
             mod = Mod(F.HT, mcs, bw, nsts, sgi)
             pp = ppdu_params_nonaggregate(mod, length)
             dec = get_data_decoder(mod, pp.n_sym, length)
-            bits = dec.decode(jnp.asarray(y[None]),
-                              jnp.asarray([ltf_start], dtype=np.int32))[0]
+            bits = dec.decode(jnp.asarray(x2[None]),
+                              jnp.asarray([ltf_start], dtype=np.int32),
+                              jnp.asarray([meta["cfo"][i]], dtype=np.float32),
+                              )[0]
             return assemble_packet(F.HT, mod, length, bits, aggre, cfo_hz, snr)
         # VHT
         bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
@@ -324,6 +333,8 @@ class SisoReceiver:
             return None        # NDP: channel report path (mu/feedback.py)
         psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
         dec = get_data_decoder(mod, n_sym, psdu_len)
-        bits = dec.decode(jnp.asarray(y[None]),
-                          jnp.asarray([ltf_start], dtype=np.int32))[0]
+        bits = dec.decode(jnp.asarray(x2[None]),
+                          jnp.asarray([ltf_start], dtype=np.int32),
+                          jnp.asarray([meta["cfo"][i]], dtype=np.float32),
+                          )[0]
         return assemble_packet(F.VHT, mod, psdu_len, bits, True, cfo_hz, snr)
