@@ -29,6 +29,38 @@ def _acs_tables():
 
 
 @lru_cache(maxsize=None)
+def _radix_tables(k: int):
+    """Tables for a radix-2^k trellis step (k input bits per scan iter).
+
+    After k steps, new state s'' keeps the old state's high 6-k bits in its
+    low bits and the k fresh inputs in its high bits; the dropped low k bits
+    of the old state enumerate the 2^k candidate paths:
+        p = ((s'' mod 2^(6-k)) << k) | path,  inputs b_j = bit (6-k+j) of s''.
+    Returns (W0, W1): float32 [64, 2^k, k] output-bit weights of each step
+    along each path.
+    """
+    assert 1 <= k <= 6
+    npaths = 1 << k
+    w0 = np.zeros((64, npaths, k), dtype=np.float32)
+    w1 = np.zeros((64, npaths, k), dtype=np.float32)
+    nxt = tables.SV_STATE_NEXT
+    out2 = tables.SV_STATE_OUTPUT2
+    mask = (1 << (6 - k)) - 1
+    for s2 in range(64):
+        bits = [(s2 >> (6 - k + j)) & 1 for j in range(k)]
+        for path in range(npaths):
+            p = ((s2 & mask) << k) | path
+            s = p
+            for j in range(k):
+                o = out2[s, bits[j]]
+                w0[s2, path, j] = (o >> 1) & 1
+                w1[s2, path, j] = o & 1
+                s = nxt[s, bits[j]]
+            assert s == s2
+    return w0, w1
+
+
+@lru_cache(maxsize=None)
 def _acs_weights():
     """Gather-free ACS constants.
 
@@ -65,48 +97,114 @@ def depuncture(llrs: jnp.ndarray, cr: CR, n_steps: int) -> jnp.ndarray:
     return flat.reshape(batch + (n_steps, 2))
 
 
-def viterbi_decode(llrs: jnp.ndarray, cr: CR, n_bits: int) -> jnp.ndarray:
+def _viterbi_core(lp: jnp.ndarray, m0: jnp.ndarray, radix: int
+                  ) -> jnp.ndarray:
+    """ACS + traceback over depunctured LLR pairs.
+
+    lp: [B, T, 2] (T divisible by radix), m0: [B, 64] initial metrics.
+    Returns decoded bits [B, T] int32 (traceback from the best final state).
+    """
+    k = radix
+    b, t_pad, _ = lp.shape
+    assert t_pad % k == 0
+    n_blk = t_pad // k
+    w0, w1 = _radix_tables(k)                          # [64, 2^k, k]
+    lpb = jnp.moveaxis(lp, 1, 0).reshape(n_blk, k, b, 2)
+    n_low = 1 << (6 - k)
+    n_path = 1 << k
+
+    def step(m, llrk):
+        l0 = llrk[:, :, 0]                              # [k, B]
+        l1 = llrk[:, :, 1]
+        bm = (jnp.tensordot(l0.T, jnp.moveaxis(w0, -1, 0), axes=1)
+              + jnp.tensordot(l1.T, jnp.moveaxis(w1, -1, 0), axes=1))
+        mm = jnp.tile(m.reshape(b, n_low, n_path), (1, n_path, 1))
+        cand = mm + bm                                  # [B, 64, 2^k]
+        dec = jnp.argmax(cand, axis=-1).astype(jnp.int8)
+        new_m = jnp.max(cand, axis=-1)
+        new_m = new_m - jnp.max(new_m, axis=-1, keepdims=True)
+        return new_m, dec
+
+    m_fin, decs = jax.lax.scan(step, m0, lpb)          # decs [nBlk, B, 64]
+
+    low_mask = n_low - 1
+    shifts = jnp.arange(k, dtype=jnp.int32)
+
+    def back(state, dec_t):
+        path = jnp.take_along_axis(dec_t, state[:, None],
+                                   axis=-1)[:, 0].astype(jnp.int32)
+        bits = (state[:, None] >> (6 - k + shifts[None, :])) & 1  # [B, k]
+        prev = ((state & low_mask) << k) + path
+        return prev, bits
+
+    s0 = jnp.argmax(m_fin, axis=-1).astype(jnp.int32)
+    _, bits_rev = jax.lax.scan(back, s0, decs, reverse=True)
+    return jnp.moveaxis(bits_rev, 0, 1).reshape(b, t_pad)
+
+
+def viterbi_decode_blocked(llrs: jnp.ndarray, cr: CR, n_bits: int,
+                           chunk: int = 480, overlap: int = 96,
+                           radix: int = 4) -> jnp.ndarray:
+    """Block-parallel soft Viterbi (overlap-save over the trellis).
+
+    The trellis is cut into `chunk`-bit blocks decoded *in parallel*, each
+    extended by `overlap` warmup/cooldown steps on both sides whose decoded
+    bits are discarded; survivor paths merge within ~5 constraint lengths,
+    so with overlap >= 96 the kept bits match the exact Viterbi output for
+    any operating SNR of interest. Sequential depth drops from n_bits/radix
+    to (chunk+2*overlap)/radix, and the chunk axis folds into the batch —
+    this is how the dominant RX cost (lib/decode_impl.cc:205-281) scales on
+    a massively parallel core. Exact-decode variant: viterbi_decode.
+    """
+    k = radix
+    b = llrs.shape[0]
+    lp = depuncture(llrs, cr, n_bits)                  # [B, T, 2]
+    nck = -(-n_bits // chunk)
+    if nck <= 1:
+        return viterbi_decode(llrs, cr, n_bits, radix=radix)
+    t_tot = nck * chunk
+    wlen = chunk + 2 * overlap
+    wlen_pad = -(-wlen // k) * k
+    pad_r = t_tot + (wlen_pad - chunk - overlap) - n_bits
+    lp = jnp.pad(lp, ((0, 0), (overlap, pad_r), (0, 0)))
+    starts = np.arange(nck) * chunk
+    idx = starts[:, None] + np.arange(wlen_pad)[None, :]
+    win = lp[:, jnp.asarray(idx)]                      # [B, nck, wlen_pad, 2]
+    win = win.reshape(b * nck, wlen_pad, 2)
+    # initial metrics: uniform for mid-stream chunks, state-0 for chunk 0
+    m0 = jnp.zeros((b, nck, 64), dtype=jnp.float32)
+    m0 = m0.at[:, 0, 1:].set(NEG)
+    bits = _viterbi_core(win, m0.reshape(b * nck, 64), k)
+    bits = bits.reshape(b, nck, wlen_pad)[:, :, overlap:overlap + chunk]
+    return bits.reshape(b, t_tot)[:, :n_bits]
+
+
+def viterbi_decode(llrs: jnp.ndarray, cr: CR, n_bits: int,
+                   radix: int = 3) -> jnp.ndarray:
     """Soft Viterbi decode of a zero-terminated BCC stream.
 
     llrs: [B, n_coded] punctured soft bits (positive = bit 1, matching the
     reference's LLR sign convention). Returns decoded bits [B, n_bits] int32.
 
-    ACS over the 64-state trellis as lax.scan; per-step metric renorm keeps
-    f32 bounded over long trellises (PSDU<=4095B => ~33k steps).
+    TPU design: the 64-state ACS runs as a lax.scan over *radix-2^k* blocks
+    — k trellis steps fused per iteration — so the sequential loop is k×
+    shorter and each iteration does [B, 64, 2^k] vector work that actually
+    fills the VPU. The predecessor "gather" is a reshape+tile (the trellis
+    is a butterfly), the branch metrics an outer product with precomputed
+    0/1 weights. Per-block renorm keeps f32 bounded over 33k-step
+    trellises. Trailing steps are padded with zero LLRs (path-neutral).
     """
-    w0, w1 = _acs_weights()
+    k = radix
     b = llrs.shape[0]
+    t_pad = -(-n_bits // k) * k
     lp = depuncture(llrs, cr, n_bits)                  # [B, n_bits, 2]
-    lp = jnp.moveaxis(lp, 1, 0)                        # [T, B, 2]
-
+    if t_pad != n_bits:
+        lp = jnp.pad(lp, ((0, 0), (0, t_pad - n_bits), (0, 0)))
+    # Traceback starts from the best final state: L/HT streams carry
+    # scrambled pad bits after the zero tail, so the encoder need not end
+    # in state 0.
     m0 = jnp.full((b, 64), NEG, dtype=jnp.float32).at[:, 0].set(0.0)
-
-    def step(m, llr2):
-        l0 = llr2[:, 0][:, None, None]
-        l1 = llr2[:, 1][:, None, None]
-        # predecessor metrics via reshape+tile (no gather): states 0..31 and
-        # 32..63 share the same predecessor pairs (2i, 2i+1).
-        m2 = m.reshape(b, 32, 2)
-        mm = jnp.concatenate([m2, m2], axis=1)              # [B, 64, 2]
-        cand = mm + l0 * w0 + l1 * w1
-        dec = (cand[..., 1] > cand[..., 0]).astype(jnp.int8)
-        new_m = jnp.max(cand, axis=-1)
-        new_m = new_m - jnp.max(new_m, axis=-1, keepdims=True)
-        return new_m, dec
-
-    m_fin, decs = jax.lax.scan(step, m0, lp)           # decs [T, B, 64]
-
-    def back(state, dec_t):
-        d = jnp.take_along_axis(dec_t, state[:, None], axis=-1)[:, 0]
-        bit = (state >> 5).astype(jnp.int32)
-        prev = ((state & 31) << 1) + d.astype(jnp.int32)
-        return prev, bit
-
-    # Traceback from the best final state: L/HT streams carry scrambled pad
-    # bits after the zero tail, so the encoder need not end in state 0.
-    s0 = jnp.argmax(m_fin, axis=-1).astype(jnp.int32)
-    _, bits_rev = jax.lax.scan(back, s0, decs, reverse=True)
-    return jnp.moveaxis(bits_rev, 0, 1)                # [B, n_bits]
+    return _viterbi_core(lp, m0, k)[:, :n_bits]
 
 
 # ---------------------------------------------------------------------------
