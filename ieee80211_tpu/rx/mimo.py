@@ -1,0 +1,207 @@
+"""2x2 SU-MIMO receiver: dual-chain sync, MIMO channel est, ZF equalizer.
+
+TPU-native re-design of the reference 2x2 stack (signal2 + demod2,
+SURVEY.md §2 C5/C7): both RX chains are decoded as one batched tensor
+program — P-matrix channel estimation from the two HT/VHT-LTFs, per-tone
+2x2 Gram-inverse ZF equalization, joint two-stream pilot phase tracking,
+per-stream deinterleave and stream-deparser, one Viterbi over the re-merged
+coded stream. (Math parity: lib/demod2_impl.cc:374-530.)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import coding, demod, sync
+from ..specs import BW, CR, F, M, Mod, tables
+from ..specs import interleaver as ilv
+from ..utils.riq import r2c
+from .receiver import (OFF_LSIG, OFF_NLLTF, PacketResult, assemble_packet,
+                       parse_ht_sig, parse_vht_siga, sig_parse)
+
+
+@lru_cache(maxsize=None)
+def _deparser_gather(mod: Mod):
+    """[nCBPS] gather maps: coded-bit i of a symbol <- (stream, pos)."""
+    ss_idx, pos_idx = ilv.stream_deparser_maps(mod)
+    assert mod.nES == 1, "nES>=2 needs per-encoder Viterbi lanes"
+    return ss_idx[0].astype(np.int32), pos_idx[0].astype(np.int32)
+
+
+def _pilot_obs_ref(mod: Mod, h_pil: jnp.ndarray, n_sym: int, pidx0: int):
+    """Expected pilot observations per RX chain [B, S, nRx, nP].
+
+    h_pil: [B, nP, nRx, nSTS] channel rows at pilot bins (for VHT this is
+    the *sum* channel replicated; see mimo channel estimation note).
+    """
+    if mod.fmt == F.HT:
+        pats = np.stack([tables.PILOT_HT[mod.bw][mod.nSS - 1][iss]
+                         for iss in range(mod.nSS)])     # [nSTS, nP]
+        refs = np.stack([np.asarray(
+            demod.pilot_refs(mod, n_sym, pidx0, iss))
+            for iss in range(mod.nSS)])                  # [nSTS, S, nP]
+        # y_exp[r, k, n] = sum_s H[r, s, k] * p_s[k, n]
+        return jnp.einsum("bprs,snp->bnrp", h_pil, jnp.asarray(refs))
+    # VHT: same pilot values on every stream
+    pref = jnp.asarray(np.asarray(demod.pilot_refs(mod, n_sym, pidx0)))
+    hsum = jnp.sum(h_pil, axis=-1)                       # [B, nP, nRx]
+    return jnp.einsum("bpr,np->bnrp", hsum, pref)
+
+
+class MimoDataDecoder:
+    """Batched 2-stream DATA decoder for one static (Mod, nSym) config."""
+
+    def __init__(self, mod: Mod, n_sym: int, psdu_len: int):
+        assert mod.nSS == 2
+        self.mod = mod
+        self.n_sym = n_sym
+        self.psdu_len = psdu_len
+        self.n_bits = n_sym * mod.nDBPS
+        self._fn = jax.jit(self._decode)
+
+    def data_offset(self) -> int:
+        n_ltf = self.mod.nLTF
+        if self.mod.fmt == F.HT:
+            return OFF_NLLTF + 80 * n_ltf
+        return OFF_NLLTF + 80 * n_ltf + 80       # VHT: + SIG-B
+
+    def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
+                cfo: jnp.ndarray):
+        """x2: [B, nRx=2, N, 2] float32; ltf_start, cfo: [B] (from chain 0).
+        Returns descrambled bits [B, n_bits]."""
+        mod = self.mod
+        b = x2.shape[0]
+        x = r2c(x2)                                       # [B, 2, N]
+        y = x * jnp.exp(1j * cfo[:, None, None]
+                        * jnp.arange(x.shape[-1])[None, None, :])
+        yf = y.reshape(b * 2, -1)
+        ls2 = jnp.repeat(ltf_start, 2)
+
+        # both chains' NL-LTF symbols -> [B, nRx, nLtf, 64]
+        ltf_t = demod.extract_symbol_windows(yf, ls2 + OFF_NLLTF, 2)
+        ltf_f = demod.fft_syms(ltf_t).reshape(b, 2, 2, 64)
+        h = demod.mimo_chan_est_2x2(ltf_f, mod.bw, vht=mod.fmt == F.VHT)
+        # h: [B, 64, nRx, nSTS]; at VHT pilot tones this holds sumH/ref in
+        # every stream column / 2 (since both LTFs carry R*ref there):
+        # mimo_chan_est combines with P, giving [sum/2, sum/2] columns *
+        # P-row structure — recover the sum channel at pilots directly:
+        pil_bins = jnp.asarray(tables.PILOT_GRID[(mod.bw, False)])
+        ref = jnp.asarray(demod.ltf_ref_grid(mod.bw, False))
+        ltf1_pil = ltf_f[:, :, 0, :][..., pil_bins]       # [B, nRx, nP]
+        sum_h_pil = ltf1_pil / ref[pil_bins][None, None, :]
+
+        # data symbols on both chains
+        gd = demod.fft_syms(demod.extract_symbol_windows(
+            yf, ls2 + self.data_offset(), self.n_sym)).reshape(
+                b, 2, self.n_sym, 64)
+        pidx0 = 3 if mod.fmt == F.HT else 4
+
+        # joint pilot phase tracking across chains
+        if mod.fmt == F.HT:
+            h_pil = h[:, pil_bins]                        # [B, nP, nRx, nSTS]
+            exp_obs = _pilot_obs_ref(mod, h_pil, self.n_sym, pidx0)
+        else:
+            exp_obs = _pilot_obs_ref(
+                mod, jnp.moveaxis(sum_h_pil, -1, 1)[..., None],
+                self.n_sym, pidx0)
+        obs = gd[..., pil_bins]                           # [B, nRx, S, nP]
+        obs = jnp.moveaxis(obs, 1, 2)                     # [B, S, nRx, nP]
+        acc = jnp.sum(obs * jnp.conj(exp_obs), axis=(-1, -2))
+        ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)       # [B, S]
+        gd = gd / ph[:, None, :, None]
+
+        # ZF equalize the data bins
+        xhat = demod.mimo_equalize_2x2(gd, h)             # [B, 2, S, 64]
+        data_bins = jnp.asarray(tables.DATA_GRID[(mod.bw, False)])
+        data = xhat[..., data_bins]                       # [B, 2, S, nSD]
+        llr = demod.demap_llr(data, mod.mod)              # [B, 2, S, nCBPSS]
+        # per-stream deinterleave
+        llr = jnp.stack([llr[:, iss][..., jnp.asarray(ilv.rx_perm(mod, iss))]
+                         for iss in range(2)], axis=1)
+        # stream deparser: re-merge into encoder order per symbol
+        ss_idx, pos_idx = _deparser_gather(self.mod)
+        merged = llr[:, jnp.asarray(ss_idx), :, jnp.asarray(pos_idx)]
+        merged = jnp.moveaxis(merged, 0, -1)              # [B, S, nCBPS]
+        llrs = merged.reshape(b, -1)
+        bits = coding.viterbi_decode(llrs, mod.cr, self.n_bits)
+        return coding.descramble(bits)
+
+    def decode(self, x2, ltf_start, cfo) -> np.ndarray:
+        return np.asarray(self._fn(x2, ltf_start, cfo))
+
+
+@lru_cache(maxsize=64)
+def get_mimo_decoder(mod: Mod, n_sym: int, psdu_len: int) -> MimoDataDecoder:
+    return MimoDataDecoder(mod, n_sym, psdu_len)
+
+
+class MimoReceiver:
+    """Auto-detecting 2x2 receiver over dual-chain captures [2, N]."""
+
+    def __init__(self, sample_rate_hz: float = 20e6):
+        self.fs = sample_rate_hz
+
+    def decode_capture(self, capture: np.ndarray) -> List[PacketResult]:
+        capture = np.asarray(capture, dtype=np.complex64)
+        assert capture.ndim == 2 and capture.shape[0] == 2
+        t0s = sync.find_triggers_np(capture[0])
+        results: List[PacketResult] = []
+        if len(t0s) == 0:
+            return results
+        ends = np.append(t0s[1:], capture.shape[1])
+        wlen = int(np.max(ends - t0s))
+        xs = np.zeros((len(t0s), 2, wlen, 2), dtype=np.float32)
+        for i, t in enumerate(t0s):
+            seg = capture[:, t:t + wlen]
+            xs[i, :, :seg.shape[1], 0] = np.real(seg)
+            xs[i, :, :seg.shape[1], 1] = np.imag(seg)
+        t0 = np.zeros(len(t0s), dtype=np.int32)
+        meta = {k: np.asarray(v) for k, v in
+                sig_parse(jnp.asarray(xs[:, 0]), jnp.asarray(t0)).items()}
+        for i in range(len(t0s)):
+            r = self._decode_one(xs[i], meta, i)
+            if r is not None:
+                results.append(r)
+        return results
+
+    def _decode_one(self, x2, meta, i) -> Optional[PacketResult]:
+        if not bool(meta["lsig_ok"][i]) or int(meta["l_mcs"][i]) != 0:
+            return None
+        cfo_hz = float(meta["cfo"][i]) * self.fs / (2 * np.pi) * -1.0
+        snr = float(meta["snr"][i])
+        ltf_start = np.asarray([meta["ltf_start"][i]], dtype=np.int32)
+        cfo = np.asarray([meta["cfo"][i]], dtype=np.float32)
+        l_len = int(meta["l_len"][i])
+        from ..specs.modulation import ppdu_params_nonaggregate
+        if bool(meta["vht_ok"][i]):
+            bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
+            if bw != BW.BW20 or sgi or nsts != 2:
+                return None
+            mod = Mod(F.VHT, mcs, bw, nsts, sgi)
+            n_sym_l = int(np.ceil((l_len * 8 + 16 + 6) / 24))
+            n_sym = n_sym_l - 2 - 1 - mod.nLTF - 1
+            if n_sym <= 0:
+                return None          # NDP -> mu/feedback path
+            psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
+            dec = get_mimo_decoder(mod, n_sym, psdu_len)
+            bits = dec.decode(jnp.asarray(x2[None]), jnp.asarray(ltf_start),
+                              jnp.asarray(cfo))[0]
+            return assemble_packet(F.VHT, mod, psdu_len, bits, True,
+                                   cfo_hz, snr)
+        if bool(meta["ht_ok"][i]):
+            mcs, bw, length, aggre, sgi = parse_ht_sig(meta["ht_bits"][i])
+            if bw != BW.BW20 or sgi or not (8 <= mcs <= 15):
+                return None
+            mod = Mod(F.HT, mcs, bw, 2, sgi)
+            pp = ppdu_params_nonaggregate(mod, length)
+            dec = get_mimo_decoder(mod, pp.n_sym, length)
+            bits = dec.decode(jnp.asarray(x2[None]), jnp.asarray(ltf_start),
+                              jnp.asarray(cfo))[0]
+            return assemble_packet(F.HT, mod, length, bits, aggre,
+                                   cfo_hz, snr)
+        return None
