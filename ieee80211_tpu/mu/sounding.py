@@ -1,0 +1,209 @@
+"""MU-MIMO station-side processing: NDP capture and MU packet decode.
+
+STA side of the sounding loop (reference demod mupos path,
+lib/demod_impl.cc:347-399 + decode NDP type-20 report,
+lib/decode_impl.cc:100-121): detect a VHT NDP, hand the VHT-LTF windows to
+the feedback pipeline; and decode the STA's own stream of a downlink MU
+PPDU given its group position (mupos).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import coding, demod, sync
+from ..rx.receiver import (OFF_NLLTF, PacketResult, assemble_packet,
+                           parse_vht_siga, sig_parse)
+from ..specs import BW, CR, F, M, Mod, tables
+from ..specs import interleaver as ilv
+from ..specs.tables import crc8_bits
+from ..utils.riq import r2c
+
+
+@dataclasses.dataclass
+class NdpCapture:
+    ltf_iq: np.ndarray      # [nLtf * 64] complex time samples, CFO-corrected
+    cfo_rad: float
+    snr_db: float
+
+
+def sta_capture_ndp(capture: np.ndarray, n_sts: int = 2
+                    ) -> Optional[NdpCapture]:
+    """Find a VHT NDP in a 1-antenna capture and return its LTF windows."""
+    capture = np.asarray(capture, dtype=np.complex64)
+    t0s = sync.find_triggers_np(capture)
+    for t0 in t0s:
+        wlen = min(len(capture) - t0, 1600)
+        x2 = np.zeros((1, max(wlen, 1360), 2), dtype=np.float32)
+        seg = capture[t0:t0 + wlen]
+        x2[0, :len(seg), 0] = np.real(seg)
+        x2[0, :len(seg), 1] = np.imag(seg)
+        meta = {k: np.asarray(v) for k, v in
+                sig_parse(jnp.asarray(x2),
+                          jnp.zeros(1, np.int32)).items()}
+        if not (bool(meta["lsig_ok"][0]) and bool(meta["vht_ok"][0])):
+            continue
+        bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][0])
+        l_len = int(meta["l_len"][0])
+        n_sym_l = int(np.ceil((l_len * 8 + 16 + 6) / 24))
+        n_ltf = tables.N_LTF[n_sts]
+        n_sym = n_sym_l - 2 - 1 - n_ltf - 1
+        if n_sym > 0:
+            continue   # not an NDP
+        ltf_start = int(meta["ltf_start"][0]) + t0
+        cfo = float(meta["cfo"][0])
+        ramp = np.exp(1j * cfo * np.arange(len(capture)))
+        y = capture * ramp
+        wins = []
+        for l in range(n_ltf):
+            s = ltf_start + OFF_NLLTF + 80 * l + 16 - 8
+            wins.append(y[s:s + 64])
+        return NdpCapture(ltf_iq=np.concatenate(wins), cfo_rad=cfo,
+                          snr_db=float(meta["snr"][0]))
+    return None
+
+
+class MuStaDecoder:
+    """Decode this station's stream of a 2-STS MU PPDU (1 RX antenna)."""
+
+    def __init__(self, mod: Mod, n_sym: int, psdu_len: int, mupos: int):
+        self.mod = mod
+        self.n_sym = n_sym
+        self.psdu_len = psdu_len
+        self.mupos = mupos
+        self.n_bits = n_sym * mod.nDBPS
+        self._fn = jax.jit(self._decode)
+
+    def _decode(self, x2, ltf_start, cfo):
+        mod = self.mod
+        u = self.mupos
+        y = sync.apply_cfo_correction(r2c(x2), cfo)
+        n_ltf = 2
+        ltf_t = demod.extract_symbol_windows(y, ltf_start + OFF_NLLTF, n_ltf)
+        ltf_f = demod.fft_syms(ltf_t)                     # [B, 2, 64]
+        ref = jnp.asarray(demod.ltf_ref_grid(mod.bw, False))
+        safe_ref = jnp.where(ref == 0, 1.0, ref)
+        p = tables.P_LTF_4[:2, :2]
+        # own-stream effective channel via P-column combining
+        h_u = jnp.einsum("l,blk->bk", p[u], ltf_f) / 2.0 / safe_ref
+        h_u = jnp.where(ref == 0, 1.0 + 0j, h_u)
+        # pilot channel: sum over streams, from LTF1 (R row = +1)
+        pil = jnp.asarray(tables.PILOT_GRID[(mod.bw, False)])
+        sum_h_pil = ltf_f[:, 0, :][..., pil] / safe_ref[pil]
+
+        g = demod.fft_syms(demod.extract_symbol_windows(
+            y, ltf_start + OFF_NLLTF + 80 * n_ltf + 80, self.n_sym))
+        pref = jnp.asarray(np.asarray(demod.pilot_refs(mod, self.n_sym, 4)))
+        obs = g[..., pil]                                 # [B, S, nP]
+        exp = sum_h_pil[:, None, :] * pref[None]
+        acc = jnp.sum(obs * jnp.conj(exp), axis=-1)
+        ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
+        g = g / ph[..., None]
+        eq = g / h_u[:, None, :]
+        data = eq[..., jnp.asarray(tables.DATA_GRID[(mod.bw, False)])]
+        llr = demod.demap_llr(data, mod.mod)
+        llr = llr[..., jnp.asarray(ilv.rx_perm(mod, 0))].reshape(
+            llr.shape[0], -1)
+        bits = coding.viterbi_decode(llr, mod.cr, self.n_bits)
+        return coding.descramble(bits)
+
+    def decode(self, x2, ltf_start, cfo) -> np.ndarray:
+        return np.asarray(self._fn(x2, ltf_start, cfo))
+
+
+@lru_cache(maxsize=64)
+def get_mu_sta_decoder(mod: Mod, n_sym: int, psdu_len: int, mupos: int):
+    return MuStaDecoder(mod, n_sym, psdu_len, mupos)
+
+
+def sta_decode_mu(capture: np.ndarray, mupos: int,
+                  fs_hz: float = 20e6) -> List[PacketResult]:
+    """Decode this STA's stream from downlink MU PPDUs in a capture.
+
+    SIG-B is decoded per user position to learn (mcs, length)
+    (parity: vhtSigBDemod + signalParserVhtB, lib/demod_impl.cc:449-505).
+    """
+    capture = np.asarray(capture, dtype=np.complex64)
+    t0s = sync.find_triggers_np(capture)
+    out: List[PacketResult] = []
+    for t0 in t0s:
+        wlen = len(capture) - t0
+        x2 = np.zeros((1, wlen, 2), dtype=np.float32)
+        seg = capture[t0:]
+        x2[0, :, 0] = np.real(seg)
+        x2[0, :, 1] = np.imag(seg)
+        meta = {k: np.asarray(v) for k, v in
+                sig_parse(jnp.asarray(x2), jnp.zeros(1, np.int32)).items()}
+        if not (bool(meta["lsig_ok"][0]) and bool(meta["vht_ok"][0])):
+            continue
+        bw, gid, _, _, sgi, _ = parse_vht_siga(meta["vht_bits"][0])
+        if bw != BW.BW20 or sgi or not (1 <= gid <= 62):
+            continue
+        l_len = int(meta["l_len"][0])
+        n_sym_l = int(np.ceil((l_len * 8 + 16 + 6) / 24))
+        n_sym = n_sym_l - 2 - 1 - 2 - 1      # nLtf = 2 for 2 STS
+        if n_sym <= 0:
+            continue
+        ltf_start = np.asarray([meta["ltf_start"][0]], np.int32)
+        cfo = np.asarray([meta["cfo"][0]], np.float32)
+        sigb = _decode_mu_sigb(x2, ltf_start, cfo, mupos)
+        if sigb is None:
+            continue
+        mcs, ampdu_len = sigb
+        mod = Mod(F.VHT, mcs, BW.BW20, 1)
+        psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
+        dec = get_mu_sta_decoder(mod, n_sym, psdu_len, mupos)
+        bits = dec.decode(jnp.asarray(x2), jnp.asarray(ltf_start),
+                          jnp.asarray(cfo))[0]
+        r = assemble_packet(F.VHT, mod, psdu_len, bits, True,
+                            float(cfo[0]) * fs_hz / (2 * np.pi) * -1.0,
+                            float(meta["snr"][0]))
+        out.append(r)
+    return out
+
+
+@lru_cache(maxsize=8)
+def _mu_sigb_fn(mupos: int):
+    sigb_mod = Mod(F.VHT, 0, BW.BW20, 1)
+
+    @jax.jit
+    def fn(x2, ltf_start, cfo):
+        y = sync.apply_cfo_correction(r2c(x2), cfo)
+        ltf_t = demod.extract_symbol_windows(y, ltf_start + OFF_NLLTF, 2)
+        ltf_f = demod.fft_syms(ltf_t)
+        ref = jnp.asarray(demod.ltf_ref_grid(BW.BW20, False))
+        safe_ref = jnp.where(ref == 0, 1.0, ref)
+        p = tables.P_LTF_4[:2, :2]
+        h_u = jnp.einsum("l,blk->bk", p[mupos], ltf_f) / 2.0 / safe_ref
+        h_u = jnp.where(ref == 0, 1.0 + 0j, h_u)
+        g = demod.fft_syms(demod.extract_symbol_windows(
+            y, ltf_start + OFF_NLLTF + 160, 1))[:, 0]
+        pil = jnp.asarray(tables.PILOT_GRID[(BW.BW20, False)])
+        sum_h_pil = ltf_f[:, 0, :][..., pil] / safe_ref[pil]
+        pref = jnp.asarray(tables.PILOT_VHT[BW.BW20]
+                           * tables.PILOT_POLARITY[3])
+        acc = jnp.sum(g[..., pil] * jnp.conj(sum_h_pil * pref[None]), axis=-1)
+        ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
+        eq = (g / ph[:, None]) / h_u
+        llr = jnp.real(eq[..., jnp.asarray(tables.DATA_GRID[(BW.BW20, False)])])
+        llr = llr[..., jnp.asarray(ilv.rx_perm(sigb_mod))]
+        return coding.viterbi_decode(llr, CR.CR12, 26)
+
+    return fn
+
+
+def _decode_mu_sigb(x2, ltf_start, cfo, mupos: int):
+    """MU VHT-SIG-B: 16-bit len/4 + 4-bit mcs (+ crc8 checked via service)."""
+    bits = np.asarray(_mu_sigb_fn(mupos)(jnp.asarray(x2),
+                                         jnp.asarray(ltf_start),
+                                         jnp.asarray(cfo)))[0]
+    length = int(np.sum(bits[0:16] << np.arange(16))) * 4
+    mcs = int(np.sum(bits[16:20] << np.arange(4)))
+    if mcs > 9:
+        return None
+    return mcs, length
