@@ -119,12 +119,17 @@ def find_triggers_np(x: np.ndarray, thresh: float = 0.5, plateau: int = 20,
                      min_gap: int = 400) -> np.ndarray:
     """Find STF trigger positions in a long 1-D capture.
 
-    Vectorized numpy analog of trigger_impl (lib/trigger_impl.cc:75-110):
+    Host front-end analog of trigger_impl (lib/trigger_impl.cc:75-110):
     a trigger fires where the 16-lag STF auto-correlation stays above
     `thresh` for `plateau` consecutive samples. Returns approximate STF
-    start indices (the rise point of each plateau).
+    start indices (the rise point of each plateau). Uses the native C++
+    runtime (native/phyrt.cc) when available; numpy fallback below.
     """
     x = np.asarray(x)
+    from ..native import find_triggers as _native_triggers
+    nt = _native_triggers(x, thresh=thresh, plateau=plateau, min_gap=min_gap)
+    if nt is not None:
+        return nt
     prod = x[:-16] * np.conj(x[16:])
     pwr = np.abs(x) ** 2
     kern = np.ones(16)
