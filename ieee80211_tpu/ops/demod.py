@@ -24,9 +24,35 @@ from ..specs import interleaver as ilv
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=None)
+def _dft_mats(n: int):
+    """Shifted-output DFT as real matrices (W_re, W_im), each [n, n].
+
+    X_shifted = x @ W^T with W[k', t] = exp(-2j*pi*(k'-n/2)*t/n): the
+    64-point FFT becomes two MXU matmuls instead of a generic FFT — on TPU
+    the systolic array beats the FFT butterflies at these sizes.
+    """
+    k = np.arange(n) - n // 2
+    t = np.arange(n)
+    w = np.exp(-2j * np.pi * np.outer(k, t) / n)
+    return (np.ascontiguousarray(np.real(w).T.astype(np.float32)),
+            np.ascontiguousarray(np.imag(w).T.astype(np.float32)))
+
+
 def fft_syms(x: jnp.ndarray) -> jnp.ndarray:
-    """Time symbols [..., N] -> shifted-order frequency grid [..., N]."""
-    return jnp.fft.fftshift(jnp.fft.fft(x, axis=-1), axes=-1)
+    """Time symbols [..., N] -> shifted-order frequency grid [..., N].
+
+    Implemented as a DFT matmul (MXU) for the PHY's small FFT sizes.
+    """
+    n = x.shape[-1]
+    wr, wi = _dft_mats(n)
+    xr = jnp.real(x)
+    xi = jnp.imag(x)
+    out_r = (jnp.matmul(xr, wr, preferred_element_type=jnp.float32)
+             - jnp.matmul(xi, wi, preferred_element_type=jnp.float32))
+    out_i = (jnp.matmul(xr, wi, preferred_element_type=jnp.float32)
+             + jnp.matmul(xi, wr, preferred_element_type=jnp.float32))
+    return jax.lax.complex(out_r, out_i)
 
 
 def extract_symbol_windows(x: jnp.ndarray, start: jnp.ndarray, n_sym: int,
@@ -47,12 +73,19 @@ def extract_symbol_windows(x: jnp.ndarray, start: jnp.ndarray, n_sym: int,
     Returns [B, n_sym, nfft].
     """
     sym = stride if stride is not None else (nfft + gi)
-    offs = start[:, None] + gi - shift + sym * jnp.arange(n_sym)[None, :]
+    # one contiguous dynamic slice per packet, then a *static* window take:
+    # far cheaper than per-symbol dynamic gathers.
+    total = gi - shift + sym * (n_sym - 1) + nfft
+    first = start + (0 if gi - shift >= 0 else gi - shift)
+    base = max(gi - shift, 0)
+    win_idx = (base + sym * np.arange(n_sym)[:, None]
+               + np.arange(nfft)[None, :]).astype(np.int32)
 
-    def take(xb, ob):
-        return jax.vmap(lambda o: jax.lax.dynamic_slice(xb, (o,), (nfft,)))(ob)
+    def take(xb, s):
+        seg = jax.lax.dynamic_slice(xb, (s,), (total,))
+        return seg[jnp.asarray(win_idx)]
 
-    return jax.vmap(take)(x, offs)
+    return jax.vmap(take)(x, first)
 
 
 # ---------------------------------------------------------------------------
