@@ -49,7 +49,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     pipe, x, t0, mpdu = build_batch(batch)

@@ -196,6 +196,12 @@ def viterbi_decode(llrs: jnp.ndarray, cr: CR, n_bits: int,
     """
     k = radix
     b = llrs.shape[0]
+    # long trellises on TPU run in the fused Pallas kernel (ACS + in-VMEM
+    # traceback); short SIG-field decodes and other backends use the XLA
+    # scan formulation below.
+    if n_bits >= 192 and jax.default_backend() == "tpu":
+        from .pallas.viterbi import viterbi_decode_pallas
+        return viterbi_decode_pallas(llrs, cr, n_bits, radix=k)
     t_pad = -(-n_bits // k) * k
     lp = depuncture(llrs, cr, n_bits)                  # [B, n_bits, 2]
     if t_pad != n_bits:

@@ -1,0 +1,184 @@
+"""Pallas TPU kernel: 64-state soft Viterbi (ACS + in-VMEM traceback).
+
+The dominant RX cost (SURVEY.md §3.1, lib/decode_impl.cc:205-281) as a
+single fused kernel:
+
+  * layout: batch on the 128-lane axis, trellis states on sublanes — every
+    vector op runs 128 packets wide;
+  * radix-2^k ACS: k trellis steps fused per iteration, branch metrics via
+    one [512, 2k] x [2k, 128] matmul;
+  * survivor decisions never touch HBM: they stay in a VMEM scratch and the
+    traceback runs inside the same kernel, so the only HBM traffic is the
+    LLR stream in (double-buffered DMA) and decoded bits out;
+  * per-iteration metric renorm keeps f32 bounded on 33k-step trellises.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...specs import CR, tables
+from ..coding import depuncture
+
+TB = 128         # batch tile = lane width
+RADIX = 3
+NEG = -1e30
+
+
+@lru_cache(maxsize=None)
+def _w_cat(k: int) -> np.ndarray:
+    """Branch-metric matrix [64 * 2^k, 2 * k]: row (s * 2^k + p), column
+    (j * 2 + c) holds output bit c of step j on path p into state s."""
+    from ..coding import _radix_tables
+    w0, w1 = _radix_tables(k)          # [64, 2^k, k]
+    npaths = 1 << k
+    out = np.zeros((64 * npaths, 2 * k), dtype=np.float32)
+    for s in range(64):
+        for p in range(npaths):
+            for j in range(k):
+                out[s * npaths + p, j * 2 + 0] = w0[s, p, j]
+                out[s * npaths + p, j * 2 + 1] = w1[s, p, j]
+    return out
+
+
+def _kernel(n_blk: int, chunk: int, k: int):
+    npaths = 1 << k
+    n_low = 64 // npaths
+    n_ch = n_blk // chunk
+
+    def kernel(llr_hbm, wmat_ref, bits_ref, dec_ref, m_ref, buf, sem):
+        i = pl.program_id(0)
+
+        def dma(slot, c):
+            return pltpu.make_async_copy(
+                llr_hbm.at[pl.ds(c * chunk, chunk), :, :,
+                           pl.ds(i * TB, TB)],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        dma(0, 0).start()
+
+        # init metrics: state 0 = 0, rest = NEG
+        row = jax.lax.broadcasted_iota(jnp.int32, (64, TB), 0)
+        m_ref[:] = jnp.where(row == 0, 0.0, NEG).astype(jnp.float32)
+
+        wmat = wmat_ref[:]                         # [64*2^k, 2k]
+
+        def fwd_chunk(c, _):
+            slot = c % 2
+
+            @pl.when(c + 1 < n_ch)
+            def _():
+                dma((c + 1) % 2, c + 1).start()
+
+            dma(slot, c).wait()
+
+            def fwd_step(tt, _):
+                lb = buf[slot, tt]                  # [k, 2, TB]
+                llr2 = lb.reshape(2 * k, TB)
+                bm = jnp.dot(wmat, llr2,
+                             preferred_element_type=jnp.float32)
+                m = m_ref[:]
+                # state s = hi * n_low + lo; predecessor of (s, path) is
+                # lo * npaths + path, so bm rows (s*npaths+p) reshape to
+                # [hi, lo, p] and the metric m reshapes to [lo, p],
+                # broadcast over hi.
+                cand = (bm.reshape(npaths, n_low, npaths, TB)
+                        + m.reshape(n_low, npaths, TB)[None, :, :, :])
+                dec = jnp.argmax(cand, axis=2).astype(jnp.int8)
+                new_m = jnp.max(cand, axis=2).reshape(64, TB)
+                new_m = new_m - jnp.max(new_m, axis=0, keepdims=True)
+                m_ref[:] = new_m
+                dec_ref[c * chunk + tt] = dec.reshape(64, TB)
+                return 0
+
+            jax.lax.fori_loop(0, chunk, fwd_step, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_ch, fwd_chunk, 0)
+
+        # traceback: packed k-bit words, stored in aligned 8-row groups
+        m_fin = m_ref[:]
+        state = jnp.argmax(m_fin, axis=0).astype(jnp.int32)   # [TB]
+
+        def back_group(gg, state):
+            rows = []
+            for j in range(8):                    # static unroll
+                t = n_blk - 1 - (gg * 8 + j)
+                dec_t = dec_ref[t]                # [64, TB] int8
+                sel = row == state[None, :]
+                d = jnp.sum(jnp.where(sel, dec_t.astype(jnp.int32), 0),
+                            axis=0)
+                packed = (state >> (6 - k)) & ((1 << k) - 1)
+                rows.append(packed)
+                state = ((state & (n_low - 1)) << k) + d
+            block = jnp.stack(rows[::-1], axis=0)  # ascending t within group
+            g_start = pl.multiple_of(n_blk - 8 - gg * 8, 8)
+            bits_ref[pl.ds(g_start, 8), :] = block
+            return state
+
+        jax.lax.fori_loop(0, n_blk // 8, back_group, state)
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int):
+    npaths = 1 << k
+    kern = _kernel(n_blk, chunk, k)
+    return pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # llr in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # wmat
+        ],
+        out_specs=pl.BlockSpec((n_blk, TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blk, n_tiles * TB), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n_blk, 64, TB), jnp.int8),         # decisions
+            pltpu.VMEM((64, TB), jnp.float32),             # metrics
+            pltpu.VMEM((2, chunk, k, 2, TB), jnp.float32), # llr double buf
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
+def _pick_chunk(n_blk: int) -> int:
+    for c in (64, 52, 40, 32, 26, 20, 16, 13, 8, 5, 4, 2, 1):
+        if n_blk % c == 0:
+            return c
+    return 1
+
+
+def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
+                          radix: int = RADIX) -> jnp.ndarray:
+    """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32."""
+    k = radix
+    b = llrs.shape[0]
+    n_blk = -(-(-(-n_bits // k)) // 8) * 8        # multiple of 8 groups
+    t_pad = n_blk * k
+    lp = depuncture(llrs, cr, n_bits)                      # [B, n_bits, 2]
+    if t_pad != n_bits:
+        lp = jnp.pad(lp, ((0, 0), (0, t_pad - n_bits), (0, 0)))
+    b_pad = -(-b // TB) * TB
+    if b_pad != b:
+        lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
+    # [B, T, 2] -> [nBlk, k, 2, B]
+    ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, k, 2), 0, -1)
+    chunk = _pick_chunk(n_blk)
+    call = _build_call(n_blk, chunk, k, b_pad // TB)
+    wmat = jnp.asarray(_w_cat(k))
+    packed = call(ltr, wmat)                               # [nBlk, B] int32
+    packed = jnp.moveaxis(packed, 0, 1)[:b]                # [B, nBlk]
+    bits = (packed[:, :, None] >> jnp.arange(k, dtype=jnp.int32)) & 1
+    return bits.reshape(b, t_pad)[:, :n_bits]
