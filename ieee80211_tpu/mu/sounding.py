@@ -156,6 +156,9 @@ def sta_decode_mu(capture: np.ndarray, mupos: int,
             continue
         mcs, ampdu_len = sigb
         mod = Mod(F.VHT, mcs, BW.BW20, 1)
+        need = int(ltf_start[0]) + 448 + 240 + n_sym * 80
+        if need > wlen or n_sym * mod.nDBPS > 33000:
+            continue
         psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
         dec = get_mu_sta_decoder(mod, n_sym, psdu_len, mupos)
         bits = dec.decode(jnp.asarray(x2), jnp.asarray(ltf_start),

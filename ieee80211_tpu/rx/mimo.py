@@ -187,6 +187,9 @@ class MimoReceiver:
             n_sym = n_sym_l - 2 - 1 - mod.nLTF - 1
             if n_sym <= 0:
                 return None          # NDP -> mu/feedback path
+            need = int(ltf_start[0]) + 448 + 80 * mod.nLTF + 160 + n_sym * 80
+            if need > x2.shape[1] or n_sym * mod.nDBPS > 33000:
+                return None
             psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
             dec = get_mimo_decoder(mod, n_sym, psdu_len)
             bits = dec.decode(jnp.asarray(x2[None]), jnp.asarray(ltf_start),
@@ -199,6 +202,9 @@ class MimoReceiver:
                 return None
             mod = Mod(F.HT, mcs, bw, 2, sgi)
             pp = ppdu_params_nonaggregate(mod, length)
+            need = int(ltf_start[0]) + 448 + 80 * mod.nLTF + 160 + pp.n_sym * 80
+            if need > x2.shape[1] or not (1 <= length <= 4095):
+                return None
             dec = get_mimo_decoder(mod, pp.n_sym, length)
             bits = dec.decode(jnp.asarray(x2[None]), jnp.asarray(ltf_start),
                               jnp.asarray(cfo))[0]

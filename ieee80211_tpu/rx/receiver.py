@@ -286,6 +286,12 @@ class SisoReceiver:
     def _decode_one(self, x2: np.ndarray, meta, i) -> Optional[PacketResult]:
         if not bool(meta["lsig_ok"][i]):
             return None
+        # length-consistency guards (parity: lib/demod_impl.cc:159,186 and
+        # the PSDU/trellis caps in lib/decode_impl.h:35-36)
+        def fits(mod, n_sym, ltf_start):
+            need = ltf_start + OFF_NLLTF + 80 * mod.nLTF + 160 + n_sym * 80
+            return (0 < n_sym and n_sym * mod.nDBPS <= 33000
+                    and need <= x2.shape[0])
         cfo_hz = float(meta["cfo"][i]) * self.fs / (2 * np.pi) * -1.0
         snr = float(meta["snr"][i])
         ltf_start = int(meta["ltf_start"][i])
@@ -298,8 +304,12 @@ class SisoReceiver:
             elif bool(meta["ht_ok"][i]):
                 fmt = F.HT
         if fmt == F.L:
+            if not (14 <= l_len <= 4095):
+                return None
             mod = Mod(F.L, l_mcs)
             pp = ppdu_params_nonaggregate(mod, l_len)
+            if not fits(mod, pp.n_sym, ltf_start):
+                return None
             dec = get_data_decoder(mod, pp.n_sym, l_len)
             bits = dec.decode(jnp.asarray(x2[None]),
                               jnp.asarray([ltf_start], dtype=np.int32),
@@ -313,8 +323,12 @@ class SisoReceiver:
             nsts = mcs // 8 + 1
             if nsts != 1:
                 return None    # SISO receiver; 2x2 handled by MimoReceiver
+            if not (1 <= length <= 4095):
+                return None
             mod = Mod(F.HT, mcs, bw, nsts, sgi)
             pp = ppdu_params_nonaggregate(mod, length)
+            if not fits(mod, pp.n_sym, ltf_start):
+                return None
             dec = get_data_decoder(mod, pp.n_sym, length)
             bits = dec.decode(jnp.asarray(x2[None]),
                               jnp.asarray([ltf_start], dtype=np.int32),
@@ -332,6 +346,8 @@ class SisoReceiver:
         if n_sym <= 0:
             return None        # NDP: channel report path (mu/feedback.py)
         psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
+        if not fits(mod, n_sym, ltf_start) or psdu_len > 4095:
+            return None
         dec = get_data_decoder(mod, n_sym, psdu_len)
         bits = dec.decode(jnp.asarray(x2[None]),
                           jnp.asarray([ltf_start], dtype=np.int32),

@@ -1,0 +1,101 @@
+"""MAC<->PHY control-plane API: descriptor wire parity and the full
+in-process sounding loop through the PhyService."""
+import numpy as np
+import pytest
+
+from ieee80211_tpu.api import PhyService, descriptors as d
+from ieee80211_tpu.mac import MacConfig, aggregate_vht, build_udp_mpdu
+from ieee80211_tpu.mu import (map_q_to_grid, ndp_ltf_channel,
+                              vht_channel_feedback, zf_q)
+from ieee80211_tpu.specs import BW, F, GRF, Mod
+
+from reference_oracle import get_oracle, quiet
+
+CFG = MacConfig(subtype=8, addr1="f4:69:d5:80:0f:a0",
+                addr2="00:c0:ca:b1:5b:e1", addr3="f4:69:d5:80:0f:a0",
+                seq=2704)
+
+
+def test_descriptor_wire_parity():
+    """Byte-identical to the reference packers (tools/phy80211.py:1187+)."""
+    p8h = get_oracle("phy80211header")
+    phy = get_oracle("phy80211")
+    mpdu = b"\x01\x02payload bytes\x03"
+    with quiet():
+        ref = phy.genPktGrData(mpdu, p8h.modulation(p8h.F.VHT, 4, p8h.BW.BW20,
+                                                    1, False))
+        assert d.pack_data(mpdu, Mod(F.VHT, 4)) == ref
+        ref_mu = phy.genPktGrDataMu(
+            mpdu, p8h.modulation(p8h.F.VHT, 0, p8h.BW.BW20, 1, False),
+            mpdu + b"x", p8h.modulation(p8h.F.VHT, 1, p8h.BW.BW20, 1, False),
+            2)
+        assert d.pack_mu_data(mpdu, Mod(F.VHT, 0), mpdu + b"x",
+                              Mod(F.VHT, 1), 2) == ref_mu
+        rng = np.random.default_rng(0)
+        q = (rng.standard_normal((64, 2, 2))
+             + 1j * rng.standard_normal((64, 2, 2))).astype(np.complex64)
+        ref_q = phy.genPktGrBfQ(list(q))
+        assert d.pack_bfq(q) == ref_q
+        assert d.pack_ndp() == phy.genPktGrNdp()
+
+
+def test_request_roundtrip():
+    mpdu = b"hello mpdu"
+    req = d.unpack_request(d.pack_data(mpdu, Mod(F.HT, 5)))
+    assert isinstance(req, d.DataRequest)
+    assert req.fmt == F.HT and req.mcs == 5 and req.mpdu == mpdu
+    assert isinstance(d.unpack_request(d.pack_ndp()), d.NdpRequest)
+    rng = np.random.default_rng(1)
+    q = (rng.standard_normal((64, 2, 2))
+         + 1j * rng.standard_normal((64, 2, 2))).astype(np.complex64)
+    bq = d.unpack_request(d.pack_bfq(q))
+    np.testing.assert_allclose(bq.q, q)
+
+
+def test_phy_service_su_loopback():
+    svc = PhyService(mugid=0)
+    mpdu = build_udp_mpdu(b"service loopback payload", CFG)
+    ampdu = aggregate_vht([mpdu])
+    wave = svc.handle_request(d.pack_data(ampdu, Mod(F.VHT, 5)))
+    recs = svc.rx_capture(wave[0])
+    assert len(recs) == 1
+    rec = d.unpack_rx_record(recs[0])
+    assert rec.fmt == F.VHT.value and rec.mcs == 5
+    assert rec.payload == mpdu
+
+
+def test_phy_service_full_sounding_loop():
+    """AP/STA closed loop purely over the binary wire API."""
+    rng = np.random.default_rng(4)
+    h = rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
+    h += 2.0 * np.eye(2)
+    ap = PhyService(mugid=0)
+    stas = [PhyService(mupos=0, mugid=2), PhyService(mupos=1, mugid=2)]
+    # 1. AP sends NDP
+    ndp_wave = ap.handle_request(d.pack_ndp())
+    # 2. STAs report channel (type-20 records)
+    ltfs = []
+    for u in range(2):
+        rx = (h[u] @ ndp_wave).astype(np.complex64)
+        recs = stas[u].rx_capture(rx)
+        reports = [d.unpack_rx_record(r) for r in recs]
+        reports = [r for r in reports if isinstance(r, d.ChannelReport)]
+        assert len(reports) == 1
+        ltfs.append(reports[0].ltf_iq)
+    # 3. AP computes feedback + ZF Q, installs BFQ, sends MU data
+    v_users = [vht_channel_feedback(ndp_ltf_channel(l), BW.BW20, 2, 1)
+               for l in ltfs]
+    q = map_q_to_grid(zf_q(v_users))
+    assert ap.handle_request(d.pack_bfq(q.astype(np.complex64))) is None
+    m0 = build_udp_mpdu(b"1234567 packet for station 000", CFG)
+    m1 = build_udp_mpdu(b"7654321 packet for station 111", CFG)
+    mu_wave = ap.handle_request(d.pack_mu_data(
+        aggregate_vht([m0]), Mod(F.VHT, 0), aggregate_vht([m1]),
+        Mod(F.VHT, 0), 2))
+    # 4. each STA decodes its own stream
+    for u, want in ((0, m0), (1, m1)):
+        rx = (h[u] @ mu_wave).astype(np.complex64)
+        recs = [d.unpack_rx_record(r) for r in stas[u].rx_capture(rx)]
+        datas = [r for r in recs if isinstance(r, d.RxRecord)
+                 and r.fmt == F.VHT.value]
+        assert any(r.payload == want for r in datas)
