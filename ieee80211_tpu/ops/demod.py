@@ -143,6 +143,43 @@ def demap_llr(eq: jnp.ndarray, mod: M) -> jnp.ndarray:
     return stacked.reshape(eq.shape[:-1] + (-1,))
 
 
+def evm_snr_db(eq: jnp.ndarray, mod: M, axes=(-2, -1)) -> jnp.ndarray:
+    """EVM-based SNR from equalized data tones (per-stream SNR analog of
+    the reference's SIG-B re-encode measurement, lib/demod_impl.cc:449-505).
+
+    eq: [..., S, nSD] equalized constellation points. The error vector is
+    taken against the per-axis quantized (hard-decision) constellation.
+    """
+    if mod in (M.BPSK, M.QBPSK):
+        kmod = 1.0
+        levels = 1
+    else:
+        nb = {M.QPSK: 1, M.QAM16: 2, M.QAM64: 3, M.QAM256: 4,
+              M.QAM1024: 5}[mod]
+        kmod = float(np.sqrt({M.QPSK: 2, M.QAM16: 10, M.QAM64: 42,
+                              M.QAM256: 170, M.QAM1024: 682}[mod]))
+        levels = 1 << (nb - 1)
+    v = eq * kmod
+    if mod == M.QBPSK:
+        re = jnp.zeros_like(jnp.real(v))
+        im = jnp.sign(jnp.imag(v))
+    elif mod == M.BPSK:
+        re = jnp.sign(jnp.real(v))
+        im = jnp.zeros_like(re)
+    else:
+        def quant(a):
+            q = 2 * jnp.round((a - 1) / 2) + 1
+            return jnp.clip(q, -(2 * levels - 1), 2 * levels - 1)
+        re = quant(jnp.real(v))
+        im = quant(jnp.imag(v))
+    err = (jnp.real(v) - re) ** 2 + (jnp.imag(v) - im) ** 2
+    sig = re ** 2 + im ** 2
+    p_err = jnp.mean(err, axis=axes)
+    p_sig = jnp.mean(sig, axis=axes)
+    return 10.0 * jnp.log10(jnp.maximum(p_sig, 1e-12)
+                            / jnp.maximum(p_err, 1e-12))
+
+
 # ---------------------------------------------------------------------------
 # channel estimation / equalization (SISO)
 # ---------------------------------------------------------------------------
@@ -235,11 +272,12 @@ def mimo_equalize_2x2(grids: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
 
 
 def demod_data_siso(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
-                    n_sym: int, pidx0: int) -> jnp.ndarray:
+                    n_sym: int, pidx0: int, with_snr: bool = False):
     """Equalize+track+demap+deinterleave the DATA field.
 
     sym_grids: [B, n_sym, nfft] raw FFT grids; chan: [B, nfft].
-    Returns LLRs in coded-bit order [B, n_sym * nCBPSS].
+    Returns LLRs in coded-bit order [B, n_sym * nCBPSS]; with with_snr also
+    the per-packet EVM SNR [B] in dB.
     """
     legacy = mod.fmt == F.L
     key = (mod.bw, legacy)
@@ -250,4 +288,7 @@ def demod_data_siso(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
     data = eq[..., jnp.asarray(tables.DATA_GRID[key])]    # [B, S, nSD]
     llr = demap_llr(data, mod.mod)                        # [B, S, nCBPSS]
     perm = jnp.asarray(ilv.rx_perm(mod, 0))
-    return llr[..., perm].reshape(llr.shape[0], -1)
+    out = llr[..., perm].reshape(llr.shape[0], -1)
+    if with_snr:
+        return out, evm_snr_db(data, mod.mod)
+    return out

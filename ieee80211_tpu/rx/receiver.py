@@ -168,6 +168,7 @@ class PacketResult:
     mpdus: List[bytes]
     cfo_hz: float
     snr_db: float
+    evm_snr_db: float = 0.0   # per-stream EVM SNR (reference sssnr analog)
 
 
 class SisoDataDecoder:
@@ -208,15 +209,17 @@ class SisoDataDecoder:
             pidx0 = 3 if mod.fmt == F.HT else 4
         g = demod.fft_syms(demod.extract_symbol_windows(
             y, ltf_start + self.data_offset(), self.n_sym))
-        llrs = demod.demod_data_siso(g, chan, mod, self.n_sym, pidx0)
+        llrs, evm = demod.demod_data_siso(g, chan, mod, self.n_sym, pidx0,
+                                          with_snr=True)
         bits = coding.viterbi_decode(llrs, mod.cr, self.n_bits)
         scr = coding.descramble(bits)
-        return scr
+        return scr, evm
 
     def decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
-               cfo: jnp.ndarray) -> np.ndarray:
-        """Returns descrambled data bits [B, n_bits] (numpy)."""
-        return np.asarray(self._fn(x2, ltf_start, cfo))
+               cfo: jnp.ndarray):
+        """Returns (descrambled bits [B, n_bits], evm_snr_db [B])."""
+        bits, evm = self._fn(x2, ltf_start, cfo)
+        return np.asarray(bits), np.asarray(evm)
 
 
 @lru_cache(maxsize=256)
@@ -225,8 +228,8 @@ def get_data_decoder(mod: Mod, n_sym: int, psdu_len: int) -> SisoDataDecoder:
 
 
 def assemble_packet(fmt: F, mod: Mod, psdu_len: int, scr_bits: np.ndarray,
-                    ampdu: bool, cfo_hz: float = 0.0, snr_db: float = 0.0
-                    ) -> PacketResult:
+                    ampdu: bool, cfo_hz: float = 0.0, snr_db: float = 0.0,
+                    evm_snr_db: float = 0.0) -> PacketResult:
     """Service-strip + byte-pack + FCS / A-MPDU deaggregation (host side)."""
     psdu_bits = scr_bits[16:16 + psdu_len * 8].astype(np.uint8)
     psdu = np.packbits(psdu_bits, bitorder="little").tobytes()
@@ -240,7 +243,8 @@ def assemble_packet(fmt: F, mod: Mod, psdu_len: int, scr_bits: np.ndarray,
         ok = fcs_ok(psdu)
         mpdus = [psdu] if ok else []
     return PacketResult(fmt=fmt, mcs=mod.mcs, psdu=psdu, fcs_ok=ok,
-                        mpdus=mpdus, cfo_hz=cfo_hz, snr_db=snr_db)
+                        mpdus=mpdus, cfo_hz=cfo_hz, snr_db=snr_db,
+                        evm_snr_db=evm_snr_db)
 
 
 # ---------------------------------------------------------------------------
@@ -255,8 +259,10 @@ class SisoReceiver:
     one compilation) -> per-config SisoDataDecoder (jit cache).
     """
 
-    def __init__(self, sample_rate_hz: float = 20e6):
+    def __init__(self, sample_rate_hz: float = 20e6, stats=None):
         self.fs = sample_rate_hz
+        from ..utils.metrics import DecodeStats
+        self.stats = stats if stats is not None else DecodeStats()
 
     def decode_capture(self, capture: np.ndarray,
                        max_window: Optional[int] = None) -> List[PacketResult]:
@@ -277,9 +283,12 @@ class SisoReceiver:
         t0 = np.zeros(len(t0s), dtype=np.int32)
         meta = {k: np.asarray(v) for k, v in
                 sig_parse(jnp.asarray(xs), jnp.asarray(t0)).items()}
+        self.stats.n_trigger += len(t0s)
+        self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"]))
         for i in range(len(t0s)):
             r = self._decode_one(xs[i], meta, i)
             if r is not None:
+                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
                 results.append(r)
         return results
 
@@ -311,11 +320,12 @@ class SisoReceiver:
             if not fits(mod, pp.n_sym, ltf_start):
                 return None
             dec = get_data_decoder(mod, pp.n_sym, l_len)
-            bits = dec.decode(jnp.asarray(x2[None]),
-                              jnp.asarray([ltf_start], dtype=np.int32),
-                              jnp.asarray([meta["cfo"][i]], dtype=np.float32),
-                              )[0]
-            return assemble_packet(F.L, mod, l_len, bits, False, cfo_hz, snr)
+            bits, evm = dec.decode(
+                jnp.asarray(x2[None]),
+                jnp.asarray([ltf_start], dtype=np.int32),
+                jnp.asarray([meta["cfo"][i]], dtype=np.float32))
+            return assemble_packet(F.L, mod, l_len, bits[0], False, cfo_hz,
+                                   snr, float(evm[0]))
         if fmt == F.HT:
             mcs, bw, length, aggre, sgi = parse_ht_sig(meta["ht_bits"][i])
             if bw != BW.BW20 or mcs > 15 or sgi:
@@ -330,11 +340,12 @@ class SisoReceiver:
             if not fits(mod, pp.n_sym, ltf_start):
                 return None
             dec = get_data_decoder(mod, pp.n_sym, length)
-            bits = dec.decode(jnp.asarray(x2[None]),
-                              jnp.asarray([ltf_start], dtype=np.int32),
-                              jnp.asarray([meta["cfo"][i]], dtype=np.float32),
-                              )[0]
-            return assemble_packet(F.HT, mod, length, bits, aggre, cfo_hz, snr)
+            bits, evm = dec.decode(
+                jnp.asarray(x2[None]),
+                jnp.asarray([ltf_start], dtype=np.int32),
+                jnp.asarray([meta["cfo"][i]], dtype=np.float32))
+            return assemble_packet(F.HT, mod, length, bits[0], aggre, cfo_hz,
+                                   snr, float(evm[0]))
         # VHT
         bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
         if bw != BW.BW20 or sgi or nsts != 1:
@@ -349,8 +360,9 @@ class SisoReceiver:
         if not fits(mod, n_sym, ltf_start) or psdu_len > 4095:
             return None
         dec = get_data_decoder(mod, n_sym, psdu_len)
-        bits = dec.decode(jnp.asarray(x2[None]),
-                          jnp.asarray([ltf_start], dtype=np.int32),
-                          jnp.asarray([meta["cfo"][i]], dtype=np.float32),
-                          )[0]
-        return assemble_packet(F.VHT, mod, psdu_len, bits, True, cfo_hz, snr)
+        bits, evm = dec.decode(
+            jnp.asarray(x2[None]),
+            jnp.asarray([ltf_start], dtype=np.int32),
+            jnp.asarray([meta["cfo"][i]], dtype=np.float32))
+        return assemble_packet(F.VHT, mod, psdu_len, bits[0], True, cfo_hz,
+                               snr, float(evm[0]))

@@ -83,3 +83,17 @@ def test_multi_packet_capture():
     assert res[0].mpdus[0] == mpdu
     assert res[1].mpdus[0] == mpdu
     assert res[2].mpdus[0] == mpdu_q
+
+
+def test_stats_and_evm_snr():
+    """Decode counters and per-packet EVM SNR (sssnr analog)."""
+    mpdu = build_udp_mpdu(PAYLOAD, MAC_CFG)
+    tx = gen_mpdu(mpdu, Mod(F.L, 7))
+    cap = finalize(tx.waveform, multiplier=0.2, cfo_hz=0.0, num=1,
+                   gap=True, gap_len=1200)[0]
+    rx = SisoReceiver()
+    res = rx.decode_capture(cap)
+    assert res[0].evm_snr_db > 25.0      # clean loopback: high SNR
+    s = rx.stats.summary()
+    assert s["triggers"] >= 1 and s["fcs_ok"] == 1
+    assert s["per_mcs_ok"].get("L7") == 1
