@@ -238,10 +238,13 @@ def vhtsigb_bits(mod: Mod, pp: PpduParams):
         bits = list(tables.NDP_SIG_B[mod.bw])
         crc = crc8_bits(bits)   # unused for NDP
     bits = bits + [0] * 6
+    # bandwidth repetition (21.3.8.3.6): x2 @40 MHz, x4+pad @80 MHz. (The
+    # reference writes x2+[0] for 80 MHz — phy80211.py:571 — which cannot
+    # fill its own 234-tone interleaver; we follow the standard.)
     if mod.bw == BW.BW40:
         bits = bits * 2
     elif mod.bw == BW.BW80:
-        bits = bits * 2 + [0]
+        bits = bits * 4 + [0]
     return np.asarray(bits, dtype=np.int64), np.asarray(crc, dtype=np.int64)
 
 
@@ -255,7 +258,7 @@ def vhtsigb_bits_mu(mod_u: Mod, ampdu_len: int, bw: BW):
     if bw == BW.BW40:
         bits = bits * 2
     elif bw == BW.BW80:
-        bits = bits * 2 + [0]
+        bits = bits * 4 + [0]      # standard repetition (see vhtsigb_bits)
     return np.asarray(bits, dtype=np.int64), np.asarray(crc, dtype=np.int64)
 
 

@@ -20,3 +20,19 @@ def save_complex_bin(path: str, sig: np.ndarray) -> None:
     out[0::2] = np.real(sig).astype(np.float32)
     out[1::2] = np.imag(sig).astype(np.float32)
     out.tofile(path)
+
+
+def save_openwifi_text(path: str, sig: np.ndarray) -> None:
+    """Integer 'I Q' text lines for the OpenWiFi TX intf
+    (parity: tools/phy80211.py:1160 genSigOwTextFile)."""
+    sig = np.asarray(sig)
+    with open(path, "w") as f:
+        for v in sig:
+            f.write(f"{int(np.real(v))} {int(np.imag(v))}\n")
+
+
+def load_openwifi_text(path: str) -> np.ndarray:
+    data = np.loadtxt(path, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[None, :]
+    return (data[:, 0] + 1j * data[:, 1]).astype(np.complex64)
