@@ -97,3 +97,19 @@ def test_stats_and_evm_snr():
     s = rx.stats.summary()
     assert s["triggers"] >= 1 and s["fcs_ok"] == 1
     assert s["per_mcs_ok"].get("L7") == 1
+
+
+def test_ht_ampdu_loopback():
+    """HT A-MPDU (multiple subframes) through the auto receiver — the path
+    the reference leaves 'to be added' (lib/decode_impl.cc:432-435)."""
+    from ieee80211_tpu.mac import aggregate_ht
+    from ieee80211_tpu.tx import gen_ampdu
+    frames = [build_udp_mpdu(bytes([i]) * (25 + i), MAC_CFG_QOS)
+              for i in range(3)]
+    ampdu = aggregate_ht(frames)
+    tx = gen_ampdu(ampdu, Mod(F.HT, 4))
+    cap = finalize(tx.waveform, multiplier=0.2, cfo_hz=5000.0, num=1,
+                   gap=True, gap_len=1200)[0]
+    res = SisoReceiver().decode_capture(cap)
+    assert len(res) == 1 and res[0].fcs_ok
+    assert res[0].mpdus == frames

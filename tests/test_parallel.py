@@ -36,3 +36,12 @@ def test_halo_frontend_matches_unsharded():
     n = ac_ref.shape[1]
     np.testing.assert_allclose(ac_sharded[:, :n], ac_ref, atol=1e-4)
     assert np.all(ac_sharded[:, n:] == 0)
+
+
+def test_scaling_harness_smoke():
+    """Sharded RX runs at 1/2/4 virtual devices and decodes correctly."""
+    from ieee80211_tpu.perf.scaling import measure_scaling
+    rates = measure_scaling(device_counts=[1, 2], batch_per_device=8,
+                            iters=1)
+    assert set(rates) == {1, 2}
+    assert all(r > 0 for r in rates.values())
