@@ -100,6 +100,38 @@ def main():
     samples = batch * x.shape[1]
     sps = samples / dt
     iters = len(dts)
+
+    # secondary metric: batched TX generation rate (BASELINE config 1)
+    tx_sps = 0.0
+    try:
+        from ieee80211_tpu.mac import MacConfig, build_udp_mpdu
+        from ieee80211_tpu.specs import F, Mod
+        from ieee80211_tpu.specs.modulation import ppdu_params_nonaggregate
+        from ieee80211_tpu.tx.jax_tx import TxPipeline
+        cfg = MacConfig(addr1="f4:69:d5:80:0f:a0",
+                        addr2="00:c0:ca:b1:5b:e1",
+                        addr3="f4:69:d5:80:0f:a0", seq=2704)
+        mpdu = build_udp_mpdu(b"123456789012345678901234567890", cfg)
+        mod = Mod(F.L, 0)
+        txp = TxPipeline(mod, ppdu_params_nonaggregate(mod, len(mpdu)))
+        pin = jnp.asarray(np.tile(np.frombuffer(mpdu, np.uint8),
+                                  (batch, 1)))
+
+        @jax.jit
+        def tx_scalar(p):
+            return jnp.sum(txp._tx(p)[:, 0, 0, :])
+
+        np.asarray(tx_scalar(pin))
+        tts = []
+        for _ in range(5):
+            t = time.perf_counter()
+            np.asarray(tx_scalar(pin))
+            tts.append(time.perf_counter() - t)
+        n_tx_samp = batch * (txp.n_samp)
+        tx_sps = n_tx_samp / max(np.median(tts) - rt, 1e-9)
+    except Exception:
+        pass
+
     baseline_sps = 20e6   # reference real-time operating point: 20 Msps
     print(json.dumps({
         "metric": "rx_decode_samples_per_sec_per_chip_vht_mcs7_20mhz",
@@ -111,6 +143,7 @@ def main():
             "window": int(x.shape[1]),
             "iters": iters,
             "packets_per_sec": round(batch / dt),
+            "tx_gen_samples_per_sec_l_mcs0": round(tx_sps),
             "backend": jax.default_backend(),
         },
     }))

@@ -20,8 +20,37 @@ LTF_DATA = 192
 LSIG = 320
 
 
+from functools import lru_cache
+
+import numpy as _np
+
+
+@lru_cache(maxsize=None)
+def _band_mat(n: int, w: int) -> "_np.ndarray":
+    """Banded 0/1 matrix [n, n-w+1]: x @ B = moving sum of window w."""
+    m = _np.zeros((n, n - w + 1), dtype=_np.float32)
+    for i in range(n - w + 1):
+        m[i:i + w, i] = 1.0
+    return m
+
+
 def _movsum(x: jnp.ndarray, w: int) -> jnp.ndarray:
-    """Moving sum over trailing axis, output length N - w + 1."""
+    """Moving sum over trailing axis, output length N - w + 1.
+
+    Small windows run as a banded-matrix matmul (MXU) — a cumsum along the
+    lane axis is a slow sequential scan on TPU. Large axes fall back to the
+    cumsum-difference form.
+    """
+    n = x.shape[-1]
+    if n <= 2048:
+        band = jnp.asarray(_band_mat(n, w))
+        if jnp.iscomplexobj(x):
+            re = jnp.matmul(jnp.real(x), band,
+                            preferred_element_type=jnp.float32)
+            im = jnp.matmul(jnp.imag(x), band,
+                            preferred_element_type=jnp.float32)
+            return jax.lax.complex(re, im)
+        return jnp.matmul(x, band, preferred_element_type=jnp.float32)
     c = jnp.cumsum(x, axis=-1)
     zero = jnp.zeros_like(c[..., :1])
     c = jnp.concatenate([zero, c], axis=-1)
@@ -44,15 +73,20 @@ def stf_autocorr(x: jnp.ndarray, lag: int = 16, win: int = 16) -> jnp.ndarray:
     return num / den
 
 
+def _batch_slice(x: jnp.ndarray, start: jnp.ndarray, length: int
+                 ) -> jnp.ndarray:
+    """One contiguous dynamic slice per batch row: [B, N] -> [B, length]."""
+    return jax.vmap(
+        lambda xb, s: jax.lax.dynamic_slice(xb, (s,), (length,)))(x, start)
+
+
 def coarse_cfo(x: jnp.ndarray, t0: jnp.ndarray, n_prod: int = 144,
                lag: int = 16) -> jnp.ndarray:
     """Coarse CFO (rad/sample) from the STF: angle of the averaged lag-16
     product over the STF span. x: [B, N], t0: [B] STF start."""
-    def one(xb, tb):
-        w = jax.lax.dynamic_slice(xb, (tb,), (n_prod + lag,))
-        acc = jnp.sum(w[:n_prod] * jnp.conj(w[lag:lag + n_prod]))
-        return jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / lag
-    return jax.vmap(one)(x, t0)
+    w = _batch_slice(x, t0, n_prod + lag)
+    acc = jnp.sum(w[:, :n_prod] * jnp.conj(w[:, lag:lag + n_prod]), axis=-1)
+    return jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / lag
 
 
 def ltf_sync(x: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
@@ -70,37 +104,33 @@ def ltf_sync(x: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
     (Parity: lib/sync_impl.cc:156-196 ltf_autoCorrelation/ltf_cfo; lag range
     extended to cover both plateau edges so no empirical offset is needed.)
     """
-    win = n_lag + 128
-
-    def one(xb, tb, wrad):
-        y = jax.lax.dynamic_slice(xb, (tb + 80,), (win,))
-        # coarse CFO compensation over the window
-        y = y * jnp.exp(1j * wrad * jnp.arange(win, dtype=jnp.float32))
-        prod = y[:-64] * jnp.conj(y[64:])
-        pwr = jnp.abs(y) ** 2
-        num = _movsum(prod, 64)
-        p1 = _movsum(pwr[:-64], 64)
-        p2 = _movsum(pwr[64:], 64)
-        ac = jnp.abs(num) / (jnp.sqrt(p1 * p2) + 1e-12)
-        ac = ac[:n_lag]
-        mx = jnp.max(ac)
-        mask = ac >= thresh * mx
-        idx = jnp.arange(n_lag)
-        first = jnp.min(jnp.where(mask, idx, n_lag))
-        last = jnp.max(jnp.where(mask, idx, -1))
-        d_mid = (first + last) // 2
-        # plateau center d=96 corresponds to LTF data start at t0+80+d+16
-        ltf_start = tb + 80 + d_mid + 16
-        # fine CFO over the two LTF periods (after coarse compensation)
-        z = jax.lax.dynamic_slice(xb, (ltf_start,), (128,))
-        z = z * jnp.exp(1j * wrad * jnp.arange(128, dtype=jnp.float32))
-        acc = jnp.sum(z[:64] * jnp.conj(z[64:]))
-        fine = jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / 64
-        snr = 10.0 * jnp.log10(jnp.maximum(mx / jnp.maximum(1 - mx, 1e-6),
-                                           1e-6))
-        return ltf_start, wrad + fine, snr
-
-    return jax.vmap(one)(x, t0, cfo_rad)
+    win = n_lag + 128 + 64
+    y = _batch_slice(x, t0 + 80, win)                     # [B, win]
+    # coarse CFO compensation over the window
+    y = y * jnp.exp(1j * cfo_rad[:, None]
+                    * jnp.arange(win, dtype=jnp.float32)[None, :])
+    prod = y[:, :-64] * jnp.conj(y[:, 64:])
+    pwr = jnp.abs(y) ** 2
+    num = _movsum(prod, 64)
+    p1 = _movsum(pwr[:, :-64], 64)
+    p2 = _movsum(pwr[:, 64:], 64)
+    ac = (jnp.abs(num) / (jnp.sqrt(p1 * p2) + 1e-12))[:, :n_lag]
+    mx = jnp.max(ac, axis=-1)
+    mask = ac >= thresh * mx[:, None]
+    idx = jnp.arange(n_lag)[None, :]
+    first = jnp.min(jnp.where(mask, idx, n_lag), axis=-1)
+    last = jnp.max(jnp.where(mask, idx, -1), axis=-1)
+    d_mid = (first + last) // 2
+    # plateau center d=96 corresponds to LTF data start at t0+80+d+16
+    ltf_start = t0 + 80 + d_mid + 16
+    # fine CFO over the two LTF periods (reuse the compensated window:
+    # LTF data starts at offset d_mid+16 within it)
+    zi = (d_mid[:, None] + 16 + jnp.arange(128)[None, :])
+    z = jnp.take_along_axis(y, zi, axis=-1)
+    acc = jnp.sum(z[:, :64] * jnp.conj(z[:, 64:]), axis=-1)
+    fine = jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / 64
+    snr = 10.0 * jnp.log10(jnp.maximum(mx / jnp.maximum(1 - mx, 1e-6), 1e-6))
+    return ltf_start, cfo_rad + fine, snr
 
 
 def apply_cfo_correction(x: jnp.ndarray, cfo_rad: jnp.ndarray) -> jnp.ndarray:
