@@ -121,8 +121,11 @@ def ltf_sync(x: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
     first = jnp.min(jnp.where(mask, idx, n_lag), axis=-1)
     last = jnp.max(jnp.where(mask, idx, -1), axis=-1)
     d_mid = (first + last) // 2
-    # plateau center d=96 corresponds to LTF data start at t0+80+d+16
-    ltf_start = t0 + 80 + d_mid + 16
+    # plateau center d=96 corresponds to LTF data start at t0+80+d+16;
+    # bias 2 samples early: with the GI sampling shift of 8 the early side
+    # has ~8 clean samples of margin while any late error causes ISI
+    # (noise can move the plateau edges by +-1).
+    ltf_start = t0 + 80 + d_mid + 16 - 2
     # fine CFO over the two LTF periods (reuse the compensated window:
     # LTF data starts at offset d_mid+16 within it)
     zi = (d_mid[:, None] + 16 + jnp.arange(128)[None, :])

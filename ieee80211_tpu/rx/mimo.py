@@ -178,7 +178,9 @@ class MimoReceiver:
         cfo = np.asarray([meta["cfo"][i]], dtype=np.float32)
         l_len = int(meta["l_len"][i])
         from ..specs.modulation import ppdu_params_nonaggregate
-        if bool(meta["vht_ok"][i]):
+        from .receiver import _pick_nl_format
+        fmt = _pick_nl_format(meta, i)
+        if fmt == F.VHT:
             bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
             if bw != BW.BW20 or sgi or nsts != 2:
                 return None
@@ -196,7 +198,7 @@ class MimoReceiver:
                               jnp.asarray(cfo))[0]
             return assemble_packet(F.VHT, mod, psdu_len, bits, True,
                                    cfo_hz, snr)
-        if bool(meta["ht_ok"][i]):
+        if fmt == F.HT:
             mcs, bw, length, aggre, sgi = parse_ht_sig(meta["ht_bits"][i])
             if bw != BW.BW20 or sgi or not (8 <= mcs <= 15):
                 return None

@@ -122,6 +122,12 @@ def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176):
     nl_eq = sig_llr(ltf_start + OFF_NLSIG, 2, 1)             # [B, 2, 48]
     im = jnp.imag(nl_eq)
     re = jnp.real(nl_eq)
+    # constellation-rotation discriminator for symbol 1: HT-SIG is QBPSK
+    # (energy on imag), VHT-SIG-A1 is BPSK (energy on real). Resolves the
+    # 1-in-256 case where both SIG CRCs pass (the reference is ambiguous
+    # here too, lib/demod_impl.cc:106-148).
+    imag_dom = jnp.sum(im[:, 0] ** 2, axis=-1) > jnp.sum(re[:, 0] ** 2,
+                                                         axis=-1)
     ht_llr = jnp.concatenate([im[:, 0][:, perm], im[:, 1][:, perm]], axis=-1)
     vht_llr = jnp.concatenate([re[:, 0][:, perm], im[:, 1][:, perm]], axis=-1)
     ht_bits = coding.viterbi_decode(ht_llr, CR.CR12, 48)
@@ -132,7 +138,23 @@ def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176):
     return dict(ltf_start=ltf_start, cfo=cfo, snr=snr, lsig_ok=lsig_ok,
                 l_mcs=l_mcs, l_len=l_len, lsig_bits=lsig_bits,
                 ht_ok=ht_ok, vht_ok=vht_ok, ht_bits=ht_bits,
-                vht_bits=vht_bits)
+                vht_bits=vht_bits, nl1_imag_dom=imag_dom)
+
+
+def _pick_nl_format(meta, i) -> F:
+    """HT vs VHT vs legacy-MCS0 from SIG CRCs + the QBPSK discriminator."""
+    vht_ok = bool(meta["vht_ok"][i])
+    ht_ok = bool(meta["ht_ok"][i])
+    imag_dom = bool(meta["nl1_imag_dom"][i])
+    if vht_ok and not imag_dom:
+        return F.VHT
+    if ht_ok and imag_dom:
+        return F.HT
+    if vht_ok:
+        return F.VHT
+    if ht_ok:
+        return F.HT
+    return F.L
 
 
 def parse_ht_sig(bits: np.ndarray):
@@ -308,10 +330,7 @@ class SisoReceiver:
         l_len = int(meta["l_len"][i])
         fmt = F.L
         if l_mcs == 0:
-            if bool(meta["vht_ok"][i]):
-                fmt = F.VHT
-            elif bool(meta["ht_ok"][i]):
-                fmt = F.HT
+            fmt = _pick_nl_format(meta, i)
         if fmt == F.L:
             if not (14 <= l_len <= 4095):
                 return None
