@@ -44,16 +44,23 @@ def make_rx_step(mod: Mod, n_sym: int):
 
     def step(x2: jnp.ndarray, t0: jnp.ndarray):
         x = r2c(x2)
-        cfo_c = sync.coarse_cfo(x, t0)
-        ltf_start, cfo, snr = sync.ltf_sync(x, t0, cfo_c)
-        y = sync.apply_cfo_correction(x, cfo)
+        ltf_start, cfo, snr = sync.sync_front(x, t0)
 
-        ltf_t = demod.extract_symbol_windows(y, ltf_start - 16, 2, stride=64)
+        # ONE aligned gather: everything downstream is static slicing of z
+        # (anchor = ltf_start-16). The CFO ramp uses z-local indices; the
+        # constant phase offset vs absolute time is common to the LTF
+        # channel estimate and every data symbol, so it cancels in
+        # equalization.
+        zlen = 32 + data_offset() + 80 * n_sym
+        z = sync._batch_slice(x, ltf_start - 16, zlen)
+        z = z * jnp.exp(1j * cfo[:, None]
+                        * jnp.arange(zlen, dtype=jnp.float32)[None, :])
+
+        ltf_t = demod.static_symbol_windows(z, 0, 2, stride=64)
         lchan = demod.legacy_chan_est(demod.fft_syms(ltf_t))
 
         # L-SIG validation (cheap; always decoded as in the reference RX)
-        g = demod.fft_syms(demod.extract_symbol_windows(
-            y, ltf_start + OFF_LSIG, 1))
+        g = demod.fft_syms(demod.static_symbol_windows(z, 16 + OFF_LSIG, 1))
         eq = demod.equalize(g, lchan)
         pref = jnp.asarray(tables.PILOT_L[None]
                            * tables.PILOT_POLARITY[0:1, None])
@@ -71,11 +78,11 @@ def make_rx_step(mod: Mod, n_sym: int):
             chan = lchan
             pidx0 = 1
         else:
-            nl = demod.extract_symbol_windows(y, ltf_start + OFF_NLLTF, 1)
+            nl = demod.static_symbol_windows(z, 16 + OFF_NLLTF, 1)
             chan = demod.nonlegacy_chan_est_siso(demod.fft_syms(nl)[:, 0])
             pidx0 = 3 if mod.fmt == F.HT else 4
-        gd = demod.fft_syms(demod.extract_symbol_windows(
-            y, ltf_start + data_offset(), n_sym))
+        gd = demod.fft_syms(demod.static_symbol_windows(
+            z, 16 + data_offset(), n_sym))
         llrs = demod.demod_data_siso(gd, chan, mod, n_sym, pidx0)
         bits = coding.viterbi_decode(llrs, mod.cr, n_bits)
         scr = coding.descramble(bits)

@@ -89,12 +89,35 @@ def n_punctured(cr: CR, n_steps: int) -> int:
 
 
 def depuncture(llrs: jnp.ndarray, cr: CR, n_steps: int) -> jnp.ndarray:
-    """[..., n_coded] punctured LLRs -> [..., n_steps, 2] with zeros inserted."""
-    slots = jnp.asarray(depuncture_slots(cr, n_steps))
+    """[..., n_coded] punctured LLRs -> [..., n_steps, 2] with zeros inserted.
+
+    The puncture pattern is periodic (period <= 10), so depuncturing is a
+    reshape to pattern cycles + a static per-column select — no scatter
+    (scatters serialize badly on TPU).
+    """
+    pat = tables.PUNCTURE[cr].astype(bool)
+    period = len(pat)
+    n_keep = int(pat.sum())
     batch = llrs.shape[:-1]
-    flat = jnp.zeros(batch + (n_steps * 2,), llrs.dtype)
-    flat = flat.at[..., slots].set(llrs[..., : slots.shape[0]])
-    return flat.reshape(batch + (n_steps, 2))
+    n_cyc = -(-2 * n_steps // period)
+    need = n_cyc * n_keep
+    have = llrs.shape[-1]
+    if have < need:
+        llrs = jnp.pad(llrs, [(0, 0)] * len(batch) + [(0, need - have)])
+    elif have > need:
+        llrs = llrs[..., :need]
+    cyc = llrs.reshape(batch + (n_cyc, n_keep))
+    zero = jnp.zeros(batch + (n_cyc, 1), llrs.dtype)
+    cols = []
+    ki = 0
+    for p in pat:
+        if p:
+            cols.append(cyc[..., ki:ki + 1])
+            ki += 1
+        else:
+            cols.append(zero)
+    flat = jnp.concatenate(cols, axis=-1).reshape(batch + (n_cyc * period,))
+    return flat[..., : 2 * n_steps].reshape(batch + (n_steps, 2))
 
 
 def _viterbi_core(lp: jnp.ndarray, m0: jnp.ndarray, radix: int
@@ -180,7 +203,7 @@ def viterbi_decode_blocked(llrs: jnp.ndarray, cr: CR, n_bits: int,
 
 
 def viterbi_decode(llrs: jnp.ndarray, cr: CR, n_bits: int,
-                   radix: int = 3) -> jnp.ndarray:
+                   radix: int = None) -> jnp.ndarray:
     """Soft Viterbi decode of a zero-terminated BCC stream.
 
     llrs: [B, n_coded] punctured soft bits (positive = bit 1, matching the
@@ -194,14 +217,16 @@ def viterbi_decode(llrs: jnp.ndarray, cr: CR, n_bits: int,
     0/1 weights. Per-block renorm keeps f32 bounded over 33k-step
     trellises. Trailing steps are padded with zero LLRs (path-neutral).
     """
-    k = radix
     b = llrs.shape[0]
     # long trellises on TPU run in the fused Pallas kernel (ACS + in-VMEM
     # traceback); short SIG-field decodes and other backends use the XLA
     # scan formulation below.
     if n_bits >= 192 and jax.default_backend() == "tpu":
         from .pallas.viterbi import viterbi_decode_pallas
-        return viterbi_decode_pallas(llrs, cr, n_bits, radix=k)
+        if radix is None:
+            return viterbi_decode_pallas(llrs, cr, n_bits)
+        return viterbi_decode_pallas(llrs, cr, n_bits, radix=radix)
+    k = radix if radix is not None else 3
     t_pad = -(-n_bits // k) * k
     lp = depuncture(llrs, cr, n_bits)                  # [B, n_bits, 2]
     if t_pad != n_bits:
@@ -245,12 +270,17 @@ def descramble(bits: jnp.ndarray) -> jnp.ndarray:
     of running the LFSR, the seed indexes a precomputed PRBS table.
     """
     n = bits.shape[-1]
-    prbs = jnp.asarray(_prbs_tiled(n))                 # [128, N]
-    inv = jnp.asarray(_seed_from_first7())             # [128]
+    prbs = jnp.asarray(_prbs_tiled(n), dtype=jnp.float32)   # [128, N]
+    inv = jnp.asarray(_seed_from_first7())                  # [128]
     key = jnp.sum(bits[:, :7].astype(jnp.int32)
                   * (1 << jnp.arange(7, dtype=jnp.int32)), axis=-1)
     seed = inv[key]
-    return bits.astype(jnp.int32) ^ prbs[seed]
+    # PRBS row select as a one-hot matmul (MXU) instead of a row gather,
+    # then XOR in arithmetic form: a^b = a + b - 2ab for a,b in {0,1}.
+    onehot = (seed[:, None] == jnp.arange(128)[None, :]).astype(jnp.float32)
+    p = jnp.matmul(onehot, prbs, preferred_element_type=jnp.float32)
+    b = bits.astype(jnp.float32)
+    return (b + p - 2.0 * b * p).astype(jnp.int32)
 
 
 def scramble_seed_of(bits: jnp.ndarray) -> jnp.ndarray:

@@ -88,6 +88,22 @@ def extract_symbol_windows(x: jnp.ndarray, start: jnp.ndarray, n_sym: int,
     return jax.vmap(take)(x, first)
 
 
+def static_symbol_windows(z: jnp.ndarray, off: int, n_sym: int,
+                          nfft: int = 64, gi: int = 16, shift: int = 8,
+                          stride: Optional[int] = None) -> jnp.ndarray:
+    """extract_symbol_windows for an already packet-aligned window.
+
+    z: [B, Z] samples whose index 0 is a *fixed* per-packet anchor (e.g.
+    ltf_start-16 after one aligned gather); off: static offset of the first
+    symbol's GI within z. Pure static slicing/reshape — no gathers.
+    """
+    sym = stride if stride is not None else (nfft + gi)
+    b = z.shape[0]
+    s0 = off + gi - shift
+    seg = jax.lax.slice_in_dim(z, s0, s0 + sym * n_sym, axis=-1)
+    return seg.reshape(b, n_sym, sym)[..., :nfft]
+
+
 # ---------------------------------------------------------------------------
 # pilot tracking
 # ---------------------------------------------------------------------------

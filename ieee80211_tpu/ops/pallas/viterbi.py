@@ -25,8 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ...specs import CR, tables
 from ..coding import depuncture
 
-TB = 128         # batch tile = lane width
-RADIX = 3
+TB = 512         # default batch tile (multiple of the 128-lane width);
+                 # wider tiles amortize the per-iteration overhead of the
+                 # sequential ACS loop (measured: 512 beats 128 by ~25%)
+RADIX = 4
 NEG = -1e30
 
 
@@ -46,7 +48,7 @@ def _w_cat(k: int) -> np.ndarray:
     return out
 
 
-def _kernel(n_blk: int, chunk: int, k: int):
+def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128):
     npaths = 1 << k
     n_low = 64 // npaths
     n_ch = n_blk // chunk
@@ -129,9 +131,9 @@ def _kernel(n_blk: int, chunk: int, k: int):
 
 
 @lru_cache(maxsize=None)
-def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int):
+def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128):
     npaths = 1 << k
-    kern = _kernel(n_blk, chunk, k)
+    kern = _kernel(n_blk, chunk, k, TB)
     return pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -161,22 +163,23 @@ def _pick_chunk(n_blk: int) -> int:
 
 
 def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
-                          radix: int = RADIX) -> jnp.ndarray:
+                          radix: int = RADIX, tb: int = TB) -> jnp.ndarray:
     """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32."""
     k = radix
     b = llrs.shape[0]
+    tb = min(tb, -(-b // 128) * 128)
     n_blk = -(-(-(-n_bits // k)) // 8) * 8        # multiple of 8 groups
     t_pad = n_blk * k
     lp = depuncture(llrs, cr, n_bits)                      # [B, n_bits, 2]
     if t_pad != n_bits:
         lp = jnp.pad(lp, ((0, 0), (0, t_pad - n_bits), (0, 0)))
-    b_pad = -(-b // TB) * TB
+    b_pad = -(-b // tb) * tb
     if b_pad != b:
         lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
     # [B, T, 2] -> [nBlk, k, 2, B]
     ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, k, 2), 0, -1)
     chunk = _pick_chunk(n_blk)
-    call = _build_call(n_blk, chunk, k, b_pad // TB)
+    call = _build_call(n_blk, chunk, k, b_pad // tb, tb)
     wmat = jnp.asarray(_w_cat(k))
     packed = call(ltr, wmat)                               # [nBlk, B] int32
     packed = jnp.moveaxis(packed, 0, 1)[:b]                # [B, nBlk]

@@ -89,24 +89,16 @@ def coarse_cfo(x: jnp.ndarray, t0: jnp.ndarray, n_prod: int = 144,
     return jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / lag
 
 
-def ltf_sync(x: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
-             n_lag: int = 176, thresh: float = 0.88):
-    """Fine timing + fine CFO from the L-LTF 64-lag auto-correlation.
+def _ltf_sync_window(y: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
+                     n_lag: int, thresh: float):
+    """Core of ltf_sync given the pre-sliced window y = x[t0+80 :][:win].
 
-    x: [B, N]; t0: [B] approximate STF start (from the trigger);
-    cfo_rad: [B] coarse CFO (rad/sample, compensation sign).
-
-    The 64-lag correlation over the window starting at t0+80 is a trapezoid
-    whose plateau is centered where the 128-sample correlation window sits
-    wholly inside the periodic LTF region; the midpoint of the
-    above-threshold region locates the LTF independently of the trigger
-    error. Returns (ltf_data_start [B], cfo_total_rad [B], snr_metric [B]).
-    (Parity: lib/sync_impl.cc:156-196 ltf_autoCorrelation/ltf_cfo; lag range
-    extended to cover both plateau edges so no empirical offset is needed.)
+    Returns (ltf_data_start, cfo_total, snr). The fine CFO reuses the
+    complex lag-64 moving sum already computed for the correlation — the
+    128-sample product sum starting at d_mid+16 is exactly movsum(prod,
+    64)[d_mid+16] — so no second window gather is needed.
     """
     win = n_lag + 128 + 64
-    y = _batch_slice(x, t0 + 80, win)                     # [B, win]
-    # coarse CFO compensation over the window
     y = y * jnp.exp(1j * cfo_rad[:, None]
                     * jnp.arange(win, dtype=jnp.float32)[None, :])
     prod = y[:, :-64] * jnp.conj(y[:, 64:])
@@ -126,14 +118,45 @@ def ltf_sync(x: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
     # has ~8 clean samples of margin while any late error causes ISI
     # (noise can move the plateau edges by +-1).
     ltf_start = t0 + 80 + d_mid + 16 - 2
-    # fine CFO over the two LTF periods (reuse the compensated window:
-    # LTF data starts at offset d_mid+16 within it)
-    zi = (d_mid[:, None] + 16 + jnp.arange(128)[None, :])
-    z = jnp.take_along_axis(y, zi, axis=-1)
-    acc = jnp.sum(z[:, :64] * jnp.conj(z[:, 64:]), axis=-1)
+    acc = jnp.take_along_axis(num, (d_mid + 16)[:, None], axis=-1)[:, 0]
     fine = jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / 64
     snr = 10.0 * jnp.log10(jnp.maximum(mx / jnp.maximum(1 - mx, 1e-6), 1e-6))
     return ltf_start, cfo_rad + fine, snr
+
+
+def sync_front(x: jnp.ndarray, t0: jnp.ndarray, n_prod: int = 144,
+               lag: int = 16, n_lag: int = 176, thresh: float = 0.88):
+    """Fused front-end: coarse STF CFO + LTF fine sync from ONE window
+    gather (coarse_cfo + ltf_sync need overlapping slices; slicing
+    [t0, t0+80+n_lag+192) once serves both).
+
+    Returns (ltf_data_start [B], cfo_total_rad [B], snr_metric [B]).
+    """
+    win = n_lag + 128 + 64
+    w = _batch_slice(x, t0, 80 + win)
+    acc = jnp.sum(w[:, :n_prod] * jnp.conj(w[:, lag:lag + n_prod]), axis=-1)
+    cfo_c = jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / lag
+    return _ltf_sync_window(w[:, 80:], t0, cfo_c, n_lag, thresh)
+
+
+def ltf_sync(x: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
+             n_lag: int = 176, thresh: float = 0.88):
+    """Fine timing + fine CFO from the L-LTF 64-lag auto-correlation.
+
+    x: [B, N]; t0: [B] approximate STF start (from the trigger);
+    cfo_rad: [B] coarse CFO (rad/sample, compensation sign).
+
+    The 64-lag correlation over the window starting at t0+80 is a trapezoid
+    whose plateau is centered where the 128-sample correlation window sits
+    wholly inside the periodic LTF region; the midpoint of the
+    above-threshold region locates the LTF independently of the trigger
+    error. Returns (ltf_data_start [B], cfo_total_rad [B], snr_metric [B]).
+    (Parity: lib/sync_impl.cc:156-196 ltf_autoCorrelation/ltf_cfo; lag range
+    extended to cover both plateau edges so no empirical offset is needed.)
+    """
+    win = n_lag + 128 + 64
+    y = _batch_slice(x, t0 + 80, win)                     # [B, win]
+    return _ltf_sync_window(y, t0, cfo_rad, n_lag, thresh)
 
 
 def apply_cfo_correction(x: jnp.ndarray, cfo_rad: jnp.ndarray) -> jnp.ndarray:
