@@ -90,22 +90,25 @@ def coarse_cfo(x: jnp.ndarray, t0: jnp.ndarray, n_prod: int = 144,
 
 
 def _ltf_sync_window(y: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
-                     n_lag: int, thresh: float):
-    """Core of ltf_sync given the pre-sliced window y = x[t0+80 :][:win].
+                     n_lag: int, thresh: float, q: int = 1):
+    """Core of ltf_sync given the pre-sliced window y = x[t0+80q :][:win].
 
-    Returns (ltf_data_start, cfo_total, snr). The fine CFO reuses the
-    complex lag-64 moving sum already computed for the correlation — the
-    128-sample product sum starting at d_mid+16 is exactly movsum(prod,
-    64)[d_mid+16] — so no second window gather is needed.
+    q = oversample factor vs 20 MHz (1/2/4 for 20/40/80 MHz captures); all
+    preamble geometry scales by q. Returns (ltf_data_start, cfo_total, snr).
+    The fine CFO reuses the complex lag-64q moving sum already computed for
+    the correlation — the 128q-sample product sum starting at d_mid+16q is
+    exactly movsum(prod, 64q)[d_mid+16q] — so no second window gather is
+    needed.
     """
-    win = n_lag + 128 + 64
+    p = 64 * q                                 # LTF period in samples
+    win = n_lag + 2 * p + p
     y = y * jnp.exp(1j * cfo_rad[:, None]
                     * jnp.arange(win, dtype=jnp.float32)[None, :])
-    prod = y[:, :-64] * jnp.conj(y[:, 64:])
+    prod = y[:, :-p] * jnp.conj(y[:, p:])
     pwr = jnp.abs(y) ** 2
-    num = _movsum(prod, 64)
-    p1 = _movsum(pwr[:, :-64], 64)
-    p2 = _movsum(pwr[:, 64:], 64)
+    num = _movsum(prod, p)
+    p1 = _movsum(pwr[:, :-p], p)
+    p2 = _movsum(pwr[:, p:], p)
     ac = (jnp.abs(num) / (jnp.sqrt(p1 * p2) + 1e-12))[:, :n_lag]
     mx = jnp.max(ac, axis=-1)
     mask = ac >= thresh * mx[:, None]
@@ -113,30 +116,35 @@ def _ltf_sync_window(y: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
     first = jnp.min(jnp.where(mask, idx, n_lag), axis=-1)
     last = jnp.max(jnp.where(mask, idx, -1), axis=-1)
     d_mid = (first + last) // 2
-    # plateau center d=96 corresponds to LTF data start at t0+80+d+16;
-    # bias 2 samples early: with the GI sampling shift of 8 the early side
-    # has ~8 clean samples of margin while any late error causes ISI
+    # plateau center d=96q corresponds to LTF data start at t0+80q+d+16q;
+    # bias 2q samples early: with the GI sampling shift of 8q the early side
+    # has ~8q clean samples of margin while any late error causes ISI
     # (noise can move the plateau edges by +-1).
-    ltf_start = t0 + 80 + d_mid + 16 - 2
-    acc = jnp.take_along_axis(num, (d_mid + 16)[:, None], axis=-1)[:, 0]
-    fine = jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / 64
+    ltf_start = t0 + 80 * q + d_mid + 16 * q - 2 * q
+    acc = jnp.take_along_axis(num, (d_mid + 16 * q)[:, None], axis=-1)[:, 0]
+    fine = jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / p
     snr = 10.0 * jnp.log10(jnp.maximum(mx / jnp.maximum(1 - mx, 1e-6), 1e-6))
     return ltf_start, cfo_rad + fine, snr
 
 
 def sync_front(x: jnp.ndarray, t0: jnp.ndarray, n_prod: int = 144,
-               lag: int = 16, n_lag: int = 176, thresh: float = 0.88):
+               lag: int = 16, n_lag: int = 176, thresh: float = 0.88,
+               q: int = 1):
     """Fused front-end: coarse STF CFO + LTF fine sync from ONE window
     gather (coarse_cfo + ltf_sync need overlapping slices; slicing
-    [t0, t0+80+n_lag+192) once serves both).
+    [t0, t0+(80+n_lag+192)q) once serves both).
 
+    q scales the whole preamble geometry for 40/80 MHz captures (the STF
+    period is 16q samples, the LTF period 64q). Default args are in 20 MHz
+    units and are multiplied by q.
     Returns (ltf_data_start [B], cfo_total_rad [B], snr_metric [B]).
     """
-    win = n_lag + 128 + 64
-    w = _batch_slice(x, t0, 80 + win)
+    n_prod, lag, n_lag = n_prod * q, lag * q, n_lag * q
+    win = n_lag + 192 * q
+    w = _batch_slice(x, t0, 80 * q + win)
     acc = jnp.sum(w[:, :n_prod] * jnp.conj(w[:, lag:lag + n_prod]), axis=-1)
     cfo_c = jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / lag
-    return _ltf_sync_window(w[:, 80:], t0, cfo_c, n_lag, thresh)
+    return _ltf_sync_window(w[:, 80 * q:], t0, cfo_c, n_lag, thresh, q)
 
 
 def ltf_sync(x: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
@@ -172,26 +180,32 @@ def apply_cfo_correction(x: jnp.ndarray, cfo_rad: jnp.ndarray) -> jnp.ndarray:
 
 
 def find_triggers_np(x: np.ndarray, thresh: float = 0.5, plateau: int = 20,
-                     min_gap: int = 400) -> np.ndarray:
+                     min_gap: int = 400, q: int = 1) -> np.ndarray:
     """Find STF trigger positions in a long 1-D capture.
 
     Host front-end analog of trigger_impl (lib/trigger_impl.cc:75-110):
-    a trigger fires where the 16-lag STF auto-correlation stays above
-    `thresh` for `plateau` consecutive samples. Returns approximate STF
-    start indices (the rise point of each plateau). Uses the native C++
-    runtime (native/phyrt.cc) when available; numpy fallback below.
+    a trigger fires where the 16q-lag STF auto-correlation stays above
+    `thresh` for `plateau` consecutive samples. q is the oversample factor
+    vs 20 MHz (plateau/min_gap callers pass 20 MHz-unit values; they scale
+    by q here). Returns approximate STF start indices (the rise point of
+    each plateau). Uses the native C++ runtime (native/phyrt.cc) when
+    available (20 MHz captures); numpy fallback below.
     """
     x = np.asarray(x)
-    from ..native import find_triggers as _native_triggers
-    nt = _native_triggers(x, thresh=thresh, plateau=plateau, min_gap=min_gap)
-    if nt is not None:
-        return nt
-    prod = x[:-16] * np.conj(x[16:])
+    plateau, min_gap = plateau * q, min_gap * q
+    if q == 1:
+        from ..native import find_triggers as _native_triggers
+        nt = _native_triggers(x, thresh=thresh, plateau=plateau,
+                              min_gap=min_gap)
+        if nt is not None:
+            return nt
+    lag = 16 * q
+    prod = x[:-lag] * np.conj(x[lag:])
     pwr = np.abs(x) ** 2
-    kern = np.ones(16)
+    kern = np.ones(lag)
     num = np.abs(np.convolve(prod, kern, mode="valid"))
-    p1 = np.convolve(pwr[:-16], kern, mode="valid")
-    p2 = np.convolve(pwr[16:], kern, mode="valid")
+    p1 = np.convolve(pwr[:-lag], kern, mode="valid")
+    p2 = np.convolve(pwr[lag:], kern, mode="valid")
     ac = num / (np.sqrt(p1 * p2) + 1e-12)
     above = ac > thresh
     # run-length: count consecutive True

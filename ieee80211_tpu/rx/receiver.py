@@ -72,41 +72,55 @@ def _crc8_matrix():
 # SIG parsing (config-independent jit program)
 # ---------------------------------------------------------------------------
 
-SIGPARSE_WIN = 1040  # samples consumed from t0: covers preamble+SIGs+slack
+SIGPARSE_WIN = 1040  # samples consumed from t0 (x q): preamble+SIGs+slack
 
 
-@partial(jax.jit, static_argnames=("n_lag",))
-def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176):
+@partial(jax.jit, static_argnames=("n_lag", "q"))
+def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176,
+              q: int = 1):
     """Parse the preamble of packets at approximate STF starts t0.
 
     x2: [B, N, 2] float32 I/Q capture windows; t0: [B] int32.
+    q: oversample factor vs 20 MHz (1/2/4 for a 20/40/80 MHz capture). The
+    wide legacy-band fields are the 64-bin grid duplicated per 20 MHz
+    subband (reference tools/phy80211.py:290-295); the duplicate data tones
+    are equal-gain combined after per-subband ZF equalization, so SIG
+    decode at 40/80 MHz gets a diversity gain the 20 MHz receiver lacks.
     Returns a dict of per-packet metadata (all [B]-shaped):
     ltf_start, cfo_rad, snr_db, lsig_ok, l_mcs, l_len, ht_ok, vht_ok,
-    ht_sig_bits [B,48], vht_siga_bits [B,48], vhtsigb LLRs for later use.
+    ht_sig_bits [B,48], vht_siga_bits [B,48].
     """
     from ..utils.riq import r2c
+    bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[q]
     x = r2c(x2)
-    cfo_c = sync.coarse_cfo(x, t0)
-    ltf_start, cfo, snr = sync.ltf_sync(x, t0, cfo_c, n_lag=n_lag)
+    ltf_start, cfo, snr = sync.sync_front(x, t0, n_lag=n_lag, q=q)
     y = sync.apply_cfo_correction(x, cfo)
+    nfft, gi, sh, sym = 64 * q, 16 * q, 8 * q, 80 * q
 
-    ltf_t = demod.extract_symbol_windows(y, ltf_start - 16, 2, gi=16, shift=8,
-                                         stride=64)
+    ltf_t = demod.extract_symbol_windows(y, ltf_start - gi, 2, nfft=nfft,
+                                         gi=gi, shift=sh, stride=nfft)
     ltf_f = demod.fft_syms(ltf_t)
-    chan = demod.legacy_chan_est(ltf_f)                  # [B, 64]
+    chan = demod.legacy_chan_est(ltf_f, bw)              # [B, 64q]
+
+    d20 = np.asarray(tables.DATA_GRID[(BW.BW20, True)])
+    p20 = np.asarray(tables.PILOT_GRID[(BW.BW20, True)])
+    data_idx = np.concatenate([d20 + 64 * c for c in range(q)])
+    pilot_idx = np.concatenate([p20 + 64 * c for c in range(q)])
+    pil_l = np.tile(tables.PILOT_L, q)
 
     def sig_llr(start, n_sym, pidx0):
-        g = demod.fft_syms(demod.extract_symbol_windows(y, start, n_sym))
+        g = demod.fft_syms(demod.extract_symbol_windows(
+            y, start, n_sym, nfft=nfft, gi=gi, shift=sh))
         eq = demod.equalize(g, chan)
         pref = jnp.asarray(
-            tables.PILOT_L[None]
-            * tables.PILOT_POLARITY[pidx0:pidx0 + n_sym, None])
-        ph = demod.pilot_phase(eq, pref, tables.PILOT_GRID[(BW.BW20, True)])
+            pil_l[None] * tables.PILOT_POLARITY[pidx0:pidx0 + n_sym, None])
+        ph = demod.pilot_phase(eq, pref, pilot_idx)
         eq = eq / ph[..., None]
-        return eq[..., jnp.asarray(tables.DATA_GRID[(BW.BW20, True)])]
+        tones = eq[..., jnp.asarray(data_idx)]           # [B, S, 48q]
+        return tones.reshape(tones.shape[:-1] + (q, 48)).sum(axis=-2)
 
     perm = jnp.asarray(ilv.sig_rx_perm())
-    lsig_eq = sig_llr(ltf_start + OFF_LSIG, 1, 0)[:, 0]      # [B, 48]
+    lsig_eq = sig_llr(ltf_start + OFF_LSIG * q, 1, 0)[:, 0]  # [B, 48]
     lsig_llr = jnp.real(lsig_eq)[:, perm]
     lsig_bits = coding.viterbi_decode(lsig_llr, CR.CR12, 24)
     parity = jnp.sum(lsig_bits[:, :17], axis=-1) % 2
@@ -119,7 +133,7 @@ def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176):
     l_len = _bits_to_uint(lsig_bits, 5, 12)
 
     # the two post-L-SIG symbols carry HT-SIG (QBPSK) or VHT-SIG-A (BPSK+QBPSK)
-    nl_eq = sig_llr(ltf_start + OFF_NLSIG, 2, 1)             # [B, 2, 48]
+    nl_eq = sig_llr(ltf_start + OFF_NLSIG * q, 2, 1)         # [B, 2, 48]
     im = jnp.imag(nl_eq)
     re = jnp.real(nl_eq)
     # constellation-rotation discriminator for symbol 1: HT-SIG is QBPSK
@@ -201,22 +215,27 @@ class SisoDataDecoder:
         self.n_sym = n_sym
         self.psdu_len = psdu_len
         self.n_bits = n_sym * mod.nDBPS
+        self.q = tables.NFFT[mod.bw] // 64
         self._fn = jax.jit(self._decode)
 
     def data_offset(self) -> int:
-        """DATA field GI offset relative to the LTF data start."""
+        """DATA field GI offset relative to the LTF data start (in samples
+        at the capture rate: 20 MHz-unit offsets x q)."""
         if self.mod.fmt == F.L:
-            return OFF_LSIG + 80
-        n_ltf = self.mod.nLTF
-        if self.mod.fmt == F.HT:
-            return OFF_NLLTF + 80 * n_ltf
-        return OFF_NLLTF + 80 * n_ltf + 80   # VHT: + SIG-B symbol
+            off = OFF_LSIG + 80
+        elif self.mod.fmt == F.HT:
+            off = OFF_NLLTF + 80 * self.mod.nLTF
+        else:
+            off = OFF_NLLTF + 80 * self.mod.nLTF + 80   # VHT: + SIG-B
+        return off * self.q
 
     def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
                 cfo: jnp.ndarray):
         """x2: [B, N, 2] float32 raw windows; ltf_start, cfo: [B]."""
         from ..utils.riq import r2c
         mod = self.mod
+        q = self.q
+        nfft, gi, sh = 64 * q, 16 * q, 8 * q
         y = sync.apply_cfo_correction(r2c(x2), cfo)
         if mod.fmt == F.L:
             ltf_t = demod.extract_symbol_windows(y, ltf_start - 16, 2,
@@ -225,12 +244,14 @@ class SisoDataDecoder:
             pidx0 = 1
         else:
             # channel update from the first non-legacy LTF
-            ltf_t = demod.extract_symbol_windows(y, ltf_start + OFF_NLLTF, 1)
+            ltf_t = demod.extract_symbol_windows(
+                y, ltf_start + OFF_NLLTF * q, 1, nfft=nfft, gi=gi, shift=sh)
             chan = demod.nonlegacy_chan_est_siso(
-                demod.fft_syms(ltf_t)[:, 0])
+                demod.fft_syms(ltf_t)[:, 0], mod.bw)
             pidx0 = 3 if mod.fmt == F.HT else 4
         g = demod.fft_syms(demod.extract_symbol_windows(
-            y, ltf_start + self.data_offset(), self.n_sym))
+            y, ltf_start + self.data_offset(), self.n_sym,
+            nfft=nfft, gi=gi, shift=sh))
         llrs, evm = demod.demod_data_siso(g, chan, mod, self.n_sym, pidx0,
                                           with_snr=True)
         bits = coding.viterbi_decode(llrs, mod.cr, self.n_bits)
@@ -283,20 +304,27 @@ class SisoReceiver:
 
     def __init__(self, sample_rate_hz: float = 20e6, stats=None):
         self.fs = sample_rate_hz
+        self.q = int(round(sample_rate_hz / 20e6))
+        if self.q not in (1, 2, 4):
+            raise ValueError("sample rate must be 20/40/80 MHz")
+        self.bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[self.q]
         from ..utils.metrics import DecodeStats
         self.stats = stats if stats is not None else DecodeStats()
 
     def decode_capture(self, capture: np.ndarray,
                        max_window: Optional[int] = None) -> List[PacketResult]:
         capture = np.asarray(capture, dtype=np.complex64)
-        t0s = sync.find_triggers_np(capture)
+        t0s = sync.find_triggers_np(capture, q=self.q)
         results: List[PacketResult] = []
         if len(t0s) == 0:
             return results
-        win = max_window or (len(capture))
-        # build fixed windows per trigger
-        wlen = min(win, int(np.max(np.diff(np.append(t0s, len(capture))))))
-        wlen = max(wlen, SIGPARSE_WIN + 320)
+        del max_window  # packet windows are sized from the decoded length
+        # pass 1: fixed small preamble windows -> batched SIG parse. The
+        # non-legacy STF mid-packet also correlates at lag 16q and can
+        # re-fire the trigger (the reference re-arms the same way,
+        # lib/trigger_impl.cc:92-109); those spurious windows fail L-SIG
+        # and are dropped below.
+        wlen = min((SIGPARSE_WIN + 320) * self.q, len(capture))
         xs = np.zeros((len(t0s), wlen, 2), dtype=np.float32)
         for i, t in enumerate(t0s):
             seg = capture[t:t + wlen]
@@ -304,25 +332,40 @@ class SisoReceiver:
             xs[i, :len(seg), 1] = np.imag(seg)
         t0 = np.zeros(len(t0s), dtype=np.int32)
         meta = {k: np.asarray(v) for k, v in
-                sig_parse(jnp.asarray(xs), jnp.asarray(t0)).items()}
+                sig_parse(jnp.asarray(xs), jnp.asarray(t0),
+                          q=self.q).items()}
         self.stats.n_trigger += len(t0s)
         self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"]))
+        # pass 2: per-packet DATA windows cut to the exact decoded extent
         for i in range(len(t0s)):
-            r = self._decode_one(xs[i], meta, i)
+            r = self._decode_one(capture, int(t0s[i]), meta, i)
             if r is not None:
                 self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
                 results.append(r)
         return results
 
-    def _decode_one(self, x2: np.ndarray, meta, i) -> Optional[PacketResult]:
+    def _data_window(self, capture: np.ndarray, t_abs: int,
+                     need: int) -> np.ndarray:
+        w = np.zeros((1, need, 2), dtype=np.float32)
+        seg = capture[t_abs:t_abs + need]
+        w[0, :len(seg), 0] = np.real(seg)
+        w[0, :len(seg), 1] = np.imag(seg)
+        return w
+
+    def _decode_one(self, capture: np.ndarray, t_abs: int, meta,
+                    i) -> Optional[PacketResult]:
         if not bool(meta["lsig_ok"][i]):
             return None
         # length-consistency guards (parity: lib/demod_impl.cc:159,186 and
         # the PSDU/trellis caps in lib/decode_impl.h:35-36)
+        def extent(mod, n_sym, ltf_start):
+            return ltf_start + (OFF_NLLTF + 80 * mod.nLTF + 160
+                                + n_sym * 80) * self.q
+
         def fits(mod, n_sym, ltf_start):
-            need = ltf_start + OFF_NLLTF + 80 * mod.nLTF + 160 + n_sym * 80
             return (0 < n_sym and n_sym * mod.nDBPS <= 33000
-                    and need <= x2.shape[0])
+                    and t_abs + extent(mod, n_sym, ltf_start)
+                    <= len(capture))
         cfo_hz = float(meta["cfo"][i]) * self.fs / (2 * np.pi) * -1.0
         snr = float(meta["snr"][i])
         ltf_start = int(meta["ltf_start"][i])
@@ -332,6 +375,8 @@ class SisoReceiver:
         if l_mcs == 0:
             fmt = _pick_nl_format(meta, i)
         if fmt == F.L:
+            if self.q != 1:
+                return None    # legacy payloads exist only at 20 MHz
             if not (14 <= l_len <= 4095):
                 return None
             mod = Mod(F.L, l_mcs)
@@ -340,15 +385,17 @@ class SisoReceiver:
                 return None
             dec = get_data_decoder(mod, pp.n_sym, l_len)
             bits, evm = dec.decode(
-                jnp.asarray(x2[None]),
+                jnp.asarray(self._data_window(
+                    capture, t_abs, extent(mod, pp.n_sym, ltf_start))),
                 jnp.asarray([ltf_start], dtype=np.int32),
                 jnp.asarray([meta["cfo"][i]], dtype=np.float32))
             return assemble_packet(F.L, mod, l_len, bits[0], False, cfo_hz,
                                    snr, float(evm[0]))
         if fmt == F.HT:
             mcs, bw, length, aggre, sgi = parse_ht_sig(meta["ht_bits"][i])
-            if bw != BW.BW20 or mcs > 15 or sgi:
-                return None    # same envelope as the reference GR-TRX
+            if bw != self.bw or mcs > 15 or sgi:
+                return None    # packet bw must match the capture rate;
+                               # SGI out of envelope (as in the reference)
             nsts = mcs // 8 + 1
             if nsts != 1:
                 return None    # SISO receiver; 2x2 handled by MimoReceiver
@@ -360,14 +407,15 @@ class SisoReceiver:
                 return None
             dec = get_data_decoder(mod, pp.n_sym, length)
             bits, evm = dec.decode(
-                jnp.asarray(x2[None]),
+                jnp.asarray(self._data_window(
+                    capture, t_abs, extent(mod, pp.n_sym, ltf_start))),
                 jnp.asarray([ltf_start], dtype=np.int32),
                 jnp.asarray([meta["cfo"][i]], dtype=np.float32))
             return assemble_packet(F.HT, mod, length, bits[0], aggre, cfo_hz,
                                    snr, float(evm[0]))
         # VHT
         bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
-        if bw != BW.BW20 or sgi or nsts != 1:
+        if bw != self.bw or sgi or nsts != 1:
             return None
         mod = Mod(F.VHT, mcs, bw, nsts, sgi)
         # total symbol budget from the legacy length
@@ -380,7 +428,8 @@ class SisoReceiver:
             return None
         dec = get_data_decoder(mod, n_sym, psdu_len)
         bits, evm = dec.decode(
-            jnp.asarray(x2[None]),
+            jnp.asarray(self._data_window(
+                capture, t_abs, extent(mod, n_sym, ltf_start))),
             jnp.asarray([ltf_start], dtype=np.int32),
             jnp.asarray([meta["cfo"][i]], dtype=np.float32))
         return assemble_packet(F.VHT, mod, psdu_len, bits[0], True, cfo_hz,
