@@ -200,3 +200,208 @@ def get_tx_pipeline(mod: Mod, psdu_len: int, ampdu: bool) -> TxPipeline:
     else:
         pp = ppdu_params_nonaggregate(mod, psdu_len)
     return TxPipeline(mod, pp)
+
+
+# ---------------------------------------------------------------------------
+# MU-MIMO downlink transmitter (spatial mapping Q as a runtime argument)
+# ---------------------------------------------------------------------------
+
+
+class _UserEncoder:
+    """Per-user static constants + jit-traceable PSDU -> QAM constellations.
+
+    Mirrors the VHT branch of TxPipeline._tx (scramble -> per-encoder BCC ->
+    puncture -> stream parse -> interleave -> QAM) for one MU user sized to
+    the group symbol count (reference encode2_impl.cc:129-216: both users'
+    PSDUs encoded independently at their own MCS)."""
+
+    def __init__(self, mod: Mod, pp: PpduParams, sigb_crc: np.ndarray,
+                 scrambler: int):
+        assert mod.fmt == F.VHT
+        self.mod, self.pp = mod, pp
+        n_dbits = pp.n_sym * mod.nDBPS - 6 * mod.nES
+        reps = -(-n_dbits // 127)
+        self.prbs = np.tile(tables.SCRAMBLE_SEQ[scrambler],
+                            reps)[:n_dbits].astype(np.int32)
+        self.service = np.concatenate([np.zeros(8, np.int32),
+                                       sigb_crc.astype(np.int32)])
+        eof = np.tile(tables.EOF_PAD_SUBFRAME.astype(np.int32), pp.n_pad_eof)
+        self.fixed_tail = np.concatenate(
+            [eof, np.zeros(8 * pp.n_pad_octet + pp.n_pad_bits, np.int32)])
+        n_in = pp.n_sym * mod.nDBPS // mod.nES
+        pat = tables.PUNCTURE[mod.cr].astype(bool)
+        keep = np.tile(pat, -(-2 * n_in // len(pat)))[:2 * n_in]
+        self.punct_idx = np.nonzero(keep)[0].astype(np.int32)
+        self.es_idx, self.bit_idx = ilv.stream_parser_maps(mod)
+        self.tx_perms = np.stack([ilv.tx_perm(mod, iss)
+                                  for iss in range(mod.nSS)])
+        self.qam_r = np.real(tables.QAM_TAB[mod.mod]).astype(np.float32)
+        self.qam_i = np.imag(tables.QAM_TAB[mod.mod]).astype(np.float32)
+
+    def qam(self, psdu: jnp.ndarray) -> jnp.ndarray:
+        """[B, ampdu_len] uint8 -> constellations [B, nSS, S, nSD]."""
+        mod, pp = self.mod, self.pp
+        b = psdu.shape[0]
+        bits = ((psdu[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+                ).astype(jnp.int32).reshape(b, -1)
+        dbits = jnp.concatenate(
+            [jnp.tile(jnp.asarray(self.service)[None], (b, 1)), bits,
+             jnp.tile(jnp.asarray(self.fixed_tail)[None], (b, 1))], axis=1)
+        scr = dbits ^ jnp.asarray(self.prbs)[None]
+        n_in = pp.n_sym * mod.nDBPS // mod.nES - 6
+        es = jnp.stack([
+            jnp.concatenate([scr[:, ies: n_in * mod.nES: mod.nES],
+                             jnp.zeros((b, 6), jnp.int32)], axis=1)
+            for ies in range(mod.nES)], axis=1)
+        coded = TxPipeline._bcc(self, es)
+        punct = coded[:, :, jnp.asarray(self.punct_idx)]
+        punct = punct.reshape(b, mod.nES, pp.n_sym, -1)
+        streams = []
+        for iss in range(mod.nSS):
+            stream = punct[:, jnp.asarray(self.es_idx[iss]), :,
+                           jnp.asarray(self.bit_idx[iss])]
+            stream = jnp.moveaxis(stream, 0, -1)
+            inted = stream[..., jnp.asarray(self.tx_perms[iss])]
+            chips = inted.reshape(b, pp.n_sym, mod.nSD, mod.nBPSCS)
+            chips = jnp.sum(chips * (1 << jnp.arange(mod.nBPSCS)), axis=-1)
+            streams.append(jnp.asarray(self.qam_r)[chips]
+                           + 1j * jnp.asarray(self.qam_i)[chips])
+        return jnp.stack(streams, axis=1)              # [B, nSS, S, nSD]
+
+
+class MuTxPipeline:
+    """Batched VHT MU-MIMO downlink transmitter, one jit program.
+
+    The spatial-mapping matrix Q is a RUNTIME argument: in the serving loop
+    Q is refreshed each sounding round (the reference installs it via a
+    message into modulation2, lib/modulation2_impl.cc:109-127, and applies
+    it per symbol with procNss2SymBfQ, :354-361) while packet configs stay
+    fixed — so Q-dependent preamble fields (VHT-STF/LTF/SIG-B) are computed
+    on-device from constant per-STS grids, and only the legacy fields +
+    VHT-SIG-A are baked constants. Sample-exact vs golden.gen_ampdu_mu."""
+
+    def __init__(self, mods, ampdu_lens, group_id: int = 1,
+                 scrambler: int = golden.DEFAULT_SCRAMBLER):
+        from ..specs.modulation import ppdu_params_aggregate_mu
+        self.mods = list(mods)
+        self.lens = list(ampdu_lens)
+        n_user = len(self.mods)
+        pps0 = [ppdu_params_aggregate(m, l)
+                for m, l in zip(self.mods, self.lens)]
+        self.n_sym = max(p.n_sym for p in pps0)
+        self.n_sts = sum(m.nSTS for m in self.mods)
+        bw = self.mods[0].bw
+        self.nfft = tables.NFFT[bw]
+        self.gmod = Mod(F.VHT, 0, bw, self.n_sts, self.mods[0].sgi)
+        self.gpp = ppdu_params_aggregate_mu(self.gmod, 0, self.n_sym)
+        self.pps = [ppdu_params_aggregate_mu(m, l, self.n_sym)
+                    for m, l in zip(self.mods, self.lens)]
+
+        # constant legacy preamble + VHT-SIG-A (Q-independent; boundary with
+        # the Q-dependent VHT-STF pre-halved)
+        lt = golden.legacy_training(self.gmod)
+        ls = golden.legacy_sig_field(self.gmod, self.gpp)
+        va = golden.vht_siga_field(self.gmod, self.gpp, group_id, 0,
+                                   mu_nsts=[m.nSTS for m in self.mods])
+        pre = np.stack([golden.concat_blocks([lt[i], ls[i], va[i]])
+                        for i in range(self.n_sts)]).astype(np.complex64)
+        pre[:, -1] *= 0.5
+        self.preamble = pre                            # [nSTS, nPre]
+
+        # constant per-STS frequency grids of the Q-dependent fields
+        def csd_all(g):
+            return np.stack([golden.apply_csd(g[i] if g.ndim > 1 else g,
+                                              bw, self.n_sts, i, False)
+                             for i in range(self.n_sts)])
+        stf = golden._nl_grid_from_occ(tables.STF_VHT[bw], bw)
+        self.stf_grid = csd_all(stf[None].repeat(self.n_sts, 0))
+        n_ltf = tables.N_LTF[self.n_sts]
+        self.ltf_grids = np.stack([
+            csd_all(np.stack([golden._nl_grid_from_occ(
+                golden._vht_ltf_occ(bw, i, il), bw)
+                for i in range(self.n_sts)]))
+            for il in range(n_ltf)])                   # [nLTF, nSTS, nfft]
+        sigb_ints = []
+        self.sigb_crcs = []
+        for u in range(n_user):
+            sb_bits, crc = golden.vhtsigb_bits_mu(self.mods[u],
+                                                  self.lens[u], bw)
+            inted = golden.interleave_sigb(self.gmod,
+                                           golden.bcc(sb_bits, CR.CR12))
+            self.sigb_crcs.append(crc)
+            for _ in range(self.mods[u].nSTS):
+                sigb_ints.append(inted)
+        sigb_grids = []
+        for i in range(self.n_sts):
+            qam = tables.QAM_TAB[M.BPSK][sigb_ints[i]]
+            if self.n_sts in (4, 7, 8):
+                qam = qam * tables.P_SIGB_NSTS478[i]
+            sigb_grids.append(golden.build_grid(
+                qam, tables.PILOT_VHT[bw], bw, False))
+        self.sigb_grid = csd_all(np.stack(sigb_grids))
+
+        self.users = [_UserEncoder(m, p, c, scrambler)
+                      for m, p, c in zip(self.mods, self.pps,
+                                         self.sigb_crcs)]
+        # data grid constants: pilots (all STS use the iss-0 sequence,
+        # phy80211.py:869-871 MU path), CSD phasors, scales
+        self.pilots = golden.pilot_sequence(self.gmod, self.n_sym, 0)
+        self.csd = np.stack([
+            golden.csd_phase(bw, tables.CSD_NONLEGACY_NS[self.n_sts - 1, i])
+            for i in range(self.n_sts)]).astype(np.complex64)
+        self.sc_stf = np.float32(np.sqrt(tables.SCALE_STF_VHT[bw]
+                                         * self.n_sts))
+        self.sc_ltf = np.float32(np.sqrt(tables.SCALE_LTF_VHT[bw]
+                                         * self.n_sts))
+        self.sc_sigb = np.float32(np.sqrt(tables.SCALE_SIG_VHT_B[bw]
+                                          * self.n_sts))
+        self.sc_data = np.float32(np.sqrt(tables.SCALE_DATA_VHT[bw]
+                                          * self.n_sts))
+        self.data_bins = tables.DATA_GRID[(bw, False)]
+        self.pilot_bins = tables.PILOT_GRID[(bw, False)]
+        self.n_samp = (self.preamble.shape[-1]
+                       + 80 * (1 + n_ltf + 1 + self.n_sym)
+                       * (self.nfft // 64))
+        self.step = jax.jit(self._tx)
+
+    def _tx(self, psdus, q2: jnp.ndarray) -> jnp.ndarray:
+        """psdus: tuple of [B, len_u] uint8 per user; q2: [nfft, nSTS,
+        nSTS, 2] float32 I/Q spatial mapping. -> [B, nSTS, nSamp, 2]."""
+        from ..utils.riq import r2c
+        q = r2c(q2)                                    # [nfft, nSTS, nSTS]
+        b = psdus[0].shape[0]
+        qam = jnp.concatenate([u.qam(p) for u, p in
+                               zip(self.users, psdus)], axis=1)
+        grid = jnp.zeros((b, self.n_sts, self.n_sym, self.nfft),
+                         jnp.complex64)
+        grid = grid.at[..., jnp.asarray(self.data_bins)].set(qam)
+        grid = grid.at[..., jnp.asarray(self.pilot_bins)].set(
+            jnp.asarray(self.pilots)[None, None].astype(jnp.complex64))
+        grid = grid * jnp.asarray(self.csd)[None, :, None, :]
+        grid = jnp.einsum("kij,bjsk->bisk", q, grid)
+
+        def to_time(g, scale):
+            s = jnp.fft.ifft(jnp.fft.ifftshift(g, axes=-1), axis=-1) / scale
+            n = s.shape[-1]
+            return jnp.concatenate([s[..., 3 * n // 4:], s], axis=-1)
+
+        data = to_time(grid, self.sc_data)             # [B, nSTS, S, 80q]
+        def map1(g_const, scale):
+            gq = jnp.einsum("kij,jk->ik", q, jnp.asarray(
+                g_const.astype(np.complex64)))
+            return to_time(gq, scale)                  # [nSTS, 80q]
+        stf = map1(self.stf_grid, self.sc_stf)
+        ltfs = [map1(self.ltf_grids[il], self.sc_ltf)
+                for il in range(self.ltf_grids.shape[0])]
+        sigb = map1(self.sigb_grid, self.sc_sigb)
+        head = jnp.stack([stf] + ltfs + [sigb], axis=1)  # [nSTS, nT0, 80q]
+        syms = jnp.concatenate(
+            [jnp.tile(head[None], (b, 1, 1, 1)), data], axis=2)
+        n_t = syms.shape[2]
+        w = np.ones((n_t, syms.shape[-1]), np.float32)
+        w[:, 0] = 0.5
+        w[:-1, -1] = 0.5
+        syms = syms * jnp.asarray(w)[None, None]
+        tail = syms.reshape(b, self.n_sts, -1)
+        pre = jnp.tile(jnp.asarray(self.preamble)[None], (b, 1, 1))
+        return r_of(jnp.concatenate([pre, tail], axis=-1))
