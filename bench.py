@@ -67,15 +67,28 @@ def main():
     assert subs and subs[0].fcs_ok and subs[0].mpdu == mpdu, "decode invalid"
 
     # Timing methodology: this environment's TPU relay can acknowledge
-    # dispatches before execution completes, so we time a scalar-returning
-    # program whose fetch forces the full computation, and subtract the
-    # measured dispatch round-trip.
+    # dispatches before execution completes, and its dispatch round-trip
+    # jitters by several ms. So: (a) time a scalar-returning program whose
+    # fetch forces the full computation, (b) run the step K times inside
+    # ONE program with a forced data dependency (an invisible 1e-30 input
+    # perturbation defeats CSE/hoisting), so the round-trip error is
+    # divided by K, and (c) subtract the measured round-trip.
+    K = 8
     step = pipe.step
 
-    @jax.jit
-    def step_scalar(x, t):
-        out = step(x, t)
-        return jnp.sum(out["bits"][:, :8]).astype(jnp.float32)
+    def k_loop(fn, k):
+        @jax.jit
+        def run(x, t):
+            def body(i, c):
+                s, xx = c
+                s2 = fn(xx, t)
+                return (s + s2, xx + s2 * jnp.float32(1e-30))
+            s, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), x))
+            return s
+        return run
+
+    step_k = k_loop(lambda x, t: jnp.sum(
+        step(x, t)["bits"][:, :8]).astype(jnp.float32), K)
 
     @jax.jit
     def trivial(x):
@@ -83,19 +96,19 @@ def main():
 
     np.asarray(trivial(xd))
     rts = []
-    for _ in range(5):
+    for _ in range(8):
         t = time.perf_counter()
         np.asarray(trivial(xd))
         rts.append(time.perf_counter() - t)
     rt = min(rts)
 
-    np.asarray(step_scalar(xd, td))   # compile + warm
+    np.asarray(step_k(xd, td))   # compile + warm
     dts = []
     for _ in range(iters):
         t = time.perf_counter()
-        np.asarray(step_scalar(xd, td))
+        np.asarray(step_k(xd, td))
         dts.append(time.perf_counter() - t)
-    dt = max(np.median(dts) - rt, 1e-9)
+    dt = max((np.median(dts) - rt) / K, 1e-9)
 
     samples = batch * x.shape[1]
     sps = samples / dt
@@ -118,17 +131,70 @@ def main():
                                   (batch, 1)))
 
         @jax.jit
-        def tx_scalar(p):
-            return jnp.sum(txp._tx(p)[:, 0, 0, :])
+        def tx_k(p):
+            def body(i, c):
+                s, pp_ = c
+                s2 = jnp.sum(txp._tx(pp_)[:, 0, 0, :])
+                # runtime-zero XOR defeats loop hoisting on int inputs
+                return (s + s2, pp_ ^ (s2 * 1e-30).astype(jnp.uint8))
+            s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), p))
+            return s
 
-        np.asarray(tx_scalar(pin))
+        np.asarray(tx_k(pin))
         tts = []
         for _ in range(5):
             t = time.perf_counter()
-            np.asarray(tx_scalar(pin))
+            np.asarray(tx_k(pin))
             tts.append(time.perf_counter() - t)
         n_tx_samp = batch * (txp.n_samp)
-        tx_sps = n_tx_samp / max(np.median(tts) - rt, 1e-9)
+        tx_sps = n_tx_samp / max((np.median(tts) - rt) / K, 1e-9)
+    except Exception:
+        pass
+
+    # secondary metric: 80 MHz VHT MCS9 decode rate (beyond the reference
+    # envelope — its RX is 20 MHz-only)
+    wb_sps = 0.0
+    try:
+        from ieee80211_tpu.mac import aggregate_vht as _agg
+        from ieee80211_tpu.mac import MacConfig as _MC
+        from ieee80211_tpu.mac import build_udp_mpdu as _bum
+        from ieee80211_tpu.models import RxPipeline as _RxP
+        from ieee80211_tpu.specs import BW as _BW
+        from ieee80211_tpu.specs import F as _F
+        from ieee80211_tpu.specs import Mod as _Mod
+        from ieee80211_tpu.specs.modulation import (
+            ppdu_params_aggregate as _ppa)
+        from ieee80211_tpu.tx import finalize as _fin
+        from ieee80211_tpu.tx import gen_ampdu as _ga
+        from ieee80211_tpu.utils import c2r as _c2r
+        wb_batch = max(batch // 4, 1)
+        _cfg = _MC(subtype=8, addr1="f4:69:d5:80:0f:a0",
+                   addr2="00:c0:ca:b1:5b:e1", addr3="f4:69:d5:80:0f:a0",
+                   seq=2704)
+        _pl = bytes(np.random.default_rng(1).integers(0, 256, 1800,
+                                                      dtype=np.uint8))
+        _am = _agg([_bum(_pl, _cfg)])
+        _mod = _Mod(_F.VHT, 9, _BW.BW80, 1)
+        _pp = _ppa(_mod, len(_am))
+        _wv = _fin(_ga(_am, _mod).waveform, multiplier=0.2,
+                   cfo_hz=60000.0, gap=True, gap_len=256)[0]
+        _pipe = _RxP(_mod, _pp.n_sym, _pp.psdu_len)
+        _w = _pipe.window_len()
+        _seg = _wv[(64 - 8) * 4:]
+        _x = np.zeros((wb_batch, _w), dtype=np.complex64)
+        _x[:, :min(_w, len(_seg))] = _seg[:min(_w, len(_seg))]
+        _xd = jnp.asarray(_c2r(_x))
+        _td = jnp.zeros(wb_batch, jnp.int32)
+
+        wb_k = k_loop(lambda x, t: jnp.sum(
+            _pipe.step(x, t)["bits"][:, :8]).astype(jnp.float32), K)
+        np.asarray(wb_k(_xd, _td))
+        wts = []
+        for _ in range(5):
+            t = time.perf_counter()
+            np.asarray(wb_k(_xd, _td))
+            wts.append(time.perf_counter() - t)
+        wb_sps = wb_batch * _w / max((np.median(wts) - rt) / K, 1e-9)
     except Exception:
         pass
 
@@ -144,6 +210,7 @@ def main():
             "iters": iters,
             "packets_per_sec": round(batch / dt),
             "tx_gen_samples_per_sec_l_mcs0": round(tx_sps),
+            "rx_decode_sps_vht80_mcs9": round(wb_sps),
             "backend": jax.default_backend(),
         },
     }))

@@ -26,7 +26,7 @@ OFF_NLLTF = 448
 
 
 def make_rx_step(mod: Mod, n_sym: int):
-    """Build the full RX step for a static (Mod, n_sym) config.
+    """Build the full RX step for a static (Mod, n_sym) config (any bw).
 
     Returns fn(x2: [B, W, 2] float32 I/Q, t0: [B] int32) -> dict with:
       bits [B, n_bits] descrambled data bits, ltf_start, cfo, snr, lsig_ok.
@@ -34,41 +34,53 @@ def make_rx_step(mod: Mod, n_sym: int):
     """
     from ..utils.riq import r2c
     n_bits = n_sym * mod.nDBPS
+    q = tables.NFFT[mod.bw] // 64
+    nfft, gi, sh = 64 * q, 16 * q, 8 * q
 
     def data_offset() -> int:
         if mod.fmt == F.L:
-            return OFF_LSIG + 80
-        if mod.fmt == F.HT:
-            return OFF_NLLTF + 80 * mod.nLTF
-        return OFF_NLLTF + 80 * mod.nLTF + 80
+            off = OFF_LSIG + 80
+        elif mod.fmt == F.HT:
+            off = OFF_NLLTF + 80 * mod.nLTF
+        else:
+            off = OFF_NLLTF + 80 * mod.nLTF + 80
+        return off * q
+
+    # legacy-band duplicated SIG indexing (wide bw): copies combined
+    d20 = np.asarray(tables.DATA_GRID[(BW.BW20, True)])
+    p20 = np.asarray(tables.PILOT_GRID[(BW.BW20, True)])
+    data_idx = np.concatenate([d20 + 64 * c for c in range(q)])
+    pilot_idx = np.concatenate([p20 + 64 * c for c in range(q)])
+    pil_l = np.tile(tables.PILOT_L, q)
 
     def step(x2: jnp.ndarray, t0: jnp.ndarray):
         x = r2c(x2)
-        ltf_start, cfo, snr = sync.sync_front(x, t0)
+        ltf_start, cfo, snr = sync.sync_front(x, t0, q=q)
 
         # ONE aligned gather: everything downstream is static slicing of z
-        # (anchor = ltf_start-16). The CFO ramp uses z-local indices; the
+        # (anchor = ltf_start-16q). The CFO ramp uses z-local indices; the
         # constant phase offset vs absolute time is common to the LTF
         # channel estimate and every data symbol, so it cancels in
         # equalization.
-        zlen = 32 + data_offset() + 80 * n_sym
-        z = sync._batch_slice(x, ltf_start - 16, zlen)
+        zlen = 32 * q + data_offset() + 80 * q * n_sym
+        z = sync._batch_slice(x, ltf_start - gi, zlen)
         z = z * jnp.exp(1j * cfo[:, None]
                         * jnp.arange(zlen, dtype=jnp.float32)[None, :])
 
-        ltf_t = demod.static_symbol_windows(z, 0, 2, stride=64)
-        lchan = demod.legacy_chan_est(demod.fft_syms(ltf_t))
+        ltf_t = demod.static_symbol_windows(z, 0, 2, nfft=nfft, gi=gi,
+                                            shift=sh, stride=nfft)
+        lchan = demod.legacy_chan_est(demod.fft_syms(ltf_t), mod.bw)
 
         # L-SIG validation (cheap; always decoded as in the reference RX)
-        g = demod.fft_syms(demod.static_symbol_windows(z, 16 + OFF_LSIG, 1))
+        g = demod.fft_syms(demod.static_symbol_windows(
+            z, gi + OFF_LSIG * q, 1, nfft=nfft, gi=gi, shift=sh))
         eq = demod.equalize(g, lchan)
-        pref = jnp.asarray(tables.PILOT_L[None]
-                           * tables.PILOT_POLARITY[0:1, None])
-        ph = demod.pilot_phase(eq, pref, tables.PILOT_GRID[(BW.BW20, True)])
+        pref = jnp.asarray(pil_l[None] * tables.PILOT_POLARITY[0:1, None])
+        ph = demod.pilot_phase(eq, pref, pilot_idx)
         eq = (eq / ph[..., None])[:, 0]
-        lsig_llr = jnp.real(
-            eq[:, jnp.asarray(tables.DATA_GRID[(BW.BW20, True)])]
-        )[:, jnp.asarray(ilv.sig_rx_perm())]
+        tones = eq[:, jnp.asarray(data_idx)]
+        tones = tones.reshape(tones.shape[0], q, 48).sum(axis=1)
+        lsig_llr = jnp.real(tones)[:, jnp.asarray(ilv.sig_rx_perm())]
         lsig_bits = coding.viterbi_decode(lsig_llr, CR.CR12, 24)
         lsig_ok = ((jnp.sum(lsig_bits[:, :17], axis=-1) % 2)
                    == lsig_bits[:, 17])
@@ -78,11 +90,13 @@ def make_rx_step(mod: Mod, n_sym: int):
             chan = lchan
             pidx0 = 1
         else:
-            nl = demod.static_symbol_windows(z, 16 + OFF_NLLTF, 1)
-            chan = demod.nonlegacy_chan_est_siso(demod.fft_syms(nl)[:, 0])
+            nl = demod.static_symbol_windows(z, gi + OFF_NLLTF * q, 1,
+                                             nfft=nfft, gi=gi, shift=sh)
+            chan = demod.nonlegacy_chan_est_siso(demod.fft_syms(nl)[:, 0],
+                                                 mod.bw)
             pidx0 = 3 if mod.fmt == F.HT else 4
         gd = demod.fft_syms(demod.static_symbol_windows(
-            z, 16 + data_offset(), n_sym))
+            z, gi + data_offset(), n_sym, nfft=nfft, gi=gi, shift=sh))
         llrs = demod.demod_data_siso(gd, chan, mod, n_sym, pidx0)
         bits = coding.viterbi_decode(llrs, mod.cr, n_bits)
         scr = coding.descramble(bits)
@@ -109,7 +123,8 @@ class RxPipeline:
             extra = 160 + 80 + 80 * self.mod.nLTF
         else:
             extra = 160 + 80 + 80 * self.mod.nLTF + 80
-        return base + extra + 80 * self.n_sym + 80
+        q = tables.NFFT[self.mod.bw] // 64
+        return (base + extra + 80 * self.n_sym + 80) * q
 
     def __call__(self, x, t0):
         return self.step(x, t0)

@@ -32,10 +32,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
                  "-o", _SO], check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
-        lib.phyrt_find_triggers.restype = ctypes.c_int64
-        lib.phyrt_find_triggers.argtypes = [
+        lib.phyrt_find_triggers_lag.restype = ctypes.c_int64
+        lib.phyrt_find_triggers_lag.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
-            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         lib.phyrt_crc32.restype = ctypes.c_uint32
         lib.phyrt_crc32.argtypes = [ctypes.POINTER(ctypes.c_uint8),
@@ -60,7 +60,7 @@ def available() -> bool:
 
 
 def find_triggers(x: np.ndarray, thresh: float = 0.5, plateau: int = 20,
-                  min_gap: int = 400, max_out: int = 65536
+                  min_gap: int = 400, max_out: int = 65536, lag: int = 16
                   ) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
@@ -68,9 +68,9 @@ def find_triggers(x: np.ndarray, thresh: float = 0.5, plateau: int = 20,
     iq = np.ascontiguousarray(
         np.stack([np.real(x), np.imag(x)], axis=-1), dtype=np.float32)
     out = np.zeros(max_out, dtype=np.int64)
-    n = lib.phyrt_find_triggers(
+    n = lib.phyrt_find_triggers_lag(
         iq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
-        thresh, plateau, min_gap,
+        thresh, plateau, min_gap, lag,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_out)
     return out[:n].copy()
 

@@ -17,14 +17,16 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// STF trigger scan: sliding 16-lag auto-correlation with plateau detection.
+// STF trigger scan: sliding lag-correlation with plateau detection.
+// lag = STF period in samples (16 at 20 MHz, scaled by the oversample
+// factor for 40/80 MHz captures); the averaging window equals the lag.
 // iq: interleaved float32 (re, im) * n. Returns number of triggers written.
 // ---------------------------------------------------------------------------
-int64_t phyrt_find_triggers(const float* iq, int64_t n, float thresh,
-                            int32_t plateau, int32_t min_gap,
-                            int64_t* out, int64_t max_out) {
-  const int LAG = 16, WIN = 16;
-  if (n < LAG + WIN + 1 || max_out <= 0) return 0;
+int64_t phyrt_find_triggers_lag(const float* iq, int64_t n, float thresh,
+                                int32_t plateau, int32_t min_gap,
+                                int32_t lag, int64_t* out, int64_t max_out) {
+  const int LAG = lag, WIN = lag;
+  if (lag <= 0 || n < LAG + WIN + 1 || max_out <= 0) return 0;
   const std::complex<float>* x =
       reinterpret_cast<const std::complex<float>*>(iq);
   std::complex<double> acc(0.0, 0.0);
@@ -62,6 +64,13 @@ int64_t phyrt_find_triggers(const float* iq, int64_t n, float thresh,
     }
   }
   return n_out;
+}
+
+int64_t phyrt_find_triggers(const float* iq, int64_t n, float thresh,
+                            int32_t plateau, int32_t min_gap,
+                            int64_t* out, int64_t max_out) {
+  return phyrt_find_triggers_lag(iq, n, thresh, plateau, min_gap, 16, out,
+                                 max_out);
 }
 
 // ---------------------------------------------------------------------------

@@ -169,6 +169,10 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
     b = llrs.shape[0]
     tb = min(tb, -(-b // 128) * 128)
     n_blk = -(-(-(-n_bits // k)) // 8) * 8        # multiple of 8 groups
+    # decisions scratch is [n_blk, 64, tb] int8 and must fit in VMEM:
+    # shrink the batch tile for long trellises (e.g. 80 MHz high-MCS)
+    while tb > 128 and n_blk * 64 * tb > 80 * 1024 * 1024:
+        tb //= 2
     t_pad = n_blk * k
     lp = depuncture(llrs, cr, n_bits)                      # [B, n_bits, 2]
     if t_pad != n_bits:

@@ -193,12 +193,11 @@ def find_triggers_np(x: np.ndarray, thresh: float = 0.5, plateau: int = 20,
     """
     x = np.asarray(x)
     plateau, min_gap = plateau * q, min_gap * q
-    if q == 1:
-        from ..native import find_triggers as _native_triggers
-        nt = _native_triggers(x, thresh=thresh, plateau=plateau,
-                              min_gap=min_gap)
-        if nt is not None:
-            return nt
+    from ..native import find_triggers as _native_triggers
+    nt = _native_triggers(x, thresh=thresh, plateau=plateau,
+                          min_gap=min_gap, lag=16 * q)
+    if nt is not None:
+        return nt
     lag = 16 * q
     prod = x[:-lag] * np.conj(x[lag:])
     pwr = np.abs(x) ** 2

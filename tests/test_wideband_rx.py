@@ -78,3 +78,31 @@ def test_multi_packet_wideband_capture():
     ok = [r for r in res if r.fcs_ok]
     assert len(ok) == 3
     assert all(r.mpdus[0] == mpdu for r in ok)
+
+
+def test_wideband_rx_pipeline_jit():
+    """The fixed-config jit RxPipeline (flagship graph) decodes 40/80 MHz."""
+    import jax.numpy as jnp
+    from ieee80211_tpu.mac import deaggregate_vht
+    from ieee80211_tpu.models import RxPipeline
+    from ieee80211_tpu.specs.modulation import ppdu_params_aggregate
+    from ieee80211_tpu.utils import c2r
+    mpdu = build_udp_mpdu(PAYLOAD, CFG)
+    for bw in (BW.BW40, BW.BW80):
+        q = Q[bw]
+        mod = Mod(F.VHT, 7, bw, 1)
+        ampdu = aggregate_vht([mpdu])
+        pp = ppdu_params_aggregate(mod, len(ampdu))
+        wave = finalize(gen_ampdu(ampdu, mod).waveform, multiplier=0.2,
+                        cfo_hz=15000.0 * q, gap=True, gap_len=64 * q)[0]
+        pipe = RxPipeline(mod, pp.n_sym, pp.psdu_len)
+        w = pipe.window_len()
+        seg = wave[(64 - 8) * q:]
+        x = np.zeros((2, w), np.complex64)
+        x[:, :min(w, len(seg))] = seg[:min(w, len(seg))]
+        out = pipe.step(jnp.asarray(c2r(x)), jnp.zeros(2, jnp.int32))
+        bits = np.asarray(out["bits"][1]).astype(np.uint8)
+        psdu = np.packbits(bits[16:16 + pp.psdu_len * 8],
+                           bitorder="little").tobytes()
+        subs = deaggregate_vht(psdu)
+        assert subs and subs[0].fcs_ok and subs[0].mpdu == mpdu
