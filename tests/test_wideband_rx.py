@@ -106,3 +106,35 @@ def test_wideband_rx_pipeline_jit():
                            bitorder="little").tobytes()
         subs = deaggregate_vht(psdu)
         assert subs and subs[0].fcs_ok and subs[0].mpdu == mpdu
+
+
+@pytest.mark.parametrize("fmt,mcs,bw", [
+    (F.VHT, 4, BW.BW40), (F.VHT, 9, BW.BW40),
+    (F.HT, 11, BW.BW40),
+    (F.VHT, 7, BW.BW80),   # nES=2: per-encoder Viterbi lanes
+    (F.VHT, 9, BW.BW80),
+])
+def test_wideband_mimo_2x2_loopback(fmt, mcs, bw):
+    """2x2 SU-MIMO at 40/80 MHz through a random mixing channel — also
+    beyond the reference envelope (its MIMO RX is 20 MHz-only), including
+    nES=2 configs the reference's stream parser never reaches."""
+    from ieee80211_tpu.rx.mimo import MimoReceiver
+    from ieee80211_tpu.tx import gen_mpdu
+    mpdu = build_udp_mpdu(PAYLOAD, CFG)
+    mod = Mod(fmt, mcs, bw, 2)
+    q = Q[bw]
+    if fmt == F.VHT:
+        wave = gen_ampdu(aggregate_vht([mpdu]), mod).waveform
+    else:
+        wave = gen_mpdu(mpdu, mod).waveform
+    rng = np.random.default_rng(mcs)
+    h = (rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
+         + 2.2 * np.eye(2))
+    cap = finalize(wave, multiplier=0.2, cfo_hz=6000.0 * q, gap=True,
+                   gap_len=300 * q)
+    y = (h @ cap).astype(np.complex64)
+    y += (rng.normal(0, 1e-5, y.shape)
+          + 1j * rng.normal(0, 1e-5, y.shape)).astype(np.complex64)
+    res = MimoReceiver(sample_rate_hz=20e6 * q).decode_capture(y)
+    assert res and res[0].fcs_ok and res[0].mpdus[0] == mpdu
+    assert res[0].fmt == fmt and res[0].mcs == mcs
