@@ -56,6 +56,19 @@ def main(outdir="tmp"):
                   gap_len=10000)
     save_complex_bin(os.path.join(outdir, "sig80211GenBeacon_1x1_0.bin"),
                      bc[0])
+
+    # wideband captures (beyond the reference envelope): decode with
+    # `inspect_bin.py <file> 40e6` / `80e6`
+    wb40 = finalize(gen_ampdu(aggregate_vht([mpdu_q]),
+                              Mod(F.VHT, 7, BW.BW40)).waveform,
+                    12.0, 42000.0, gap_len=2400, fs_hz=40e6)
+    save_complex_bin(os.path.join(outdir, "sig80211GenWideband_40MHz.bin"),
+                     wb40[0])
+    wb80 = finalize(gen_ampdu(aggregate_vht([mpdu_q]),
+                              Mod(F.VHT, 9, BW.BW80)).waveform,
+                    12.0, 84000.0, gap_len=4800, fs_hz=80e6)
+    save_complex_bin(os.path.join(outdir, "sig80211GenWideband_80MHz.bin"),
+                     wb80[0])
     print(f"wrote captures to {outdir}/")
 
 

@@ -13,12 +13,13 @@ from ieee80211_tpu.rx import SisoReceiver
 from ieee80211_tpu.utils import load_complex_bin
 
 
-def main(path):
+def main(path, fs_hz=20e6):
     cap = load_complex_bin(path)
-    print(f"{path}: {len(cap)} samples, peak {np.abs(cap).max():.3f}")
-    t0s = find_triggers_np(cap)
+    print(f"{path}: {len(cap)} samples @ {fs_hz/1e6:.0f} MHz, "
+          f"peak {np.abs(cap).max():.3f}")
+    rx = SisoReceiver(sample_rate_hz=fs_hz)
+    t0s = find_triggers_np(cap, q=rx.q)
     print(f"triggers at {list(t0s)}")
-    rx = SisoReceiver()
     for r in rx.decode_capture(cap):
         print(f"  {r.fmt.name} mcs{r.mcs} fcs_ok={r.fcs_ok} "
               f"cfo={r.cfo_hz:.0f}Hz evm_snr={r.evm_snr_db:.1f}dB "

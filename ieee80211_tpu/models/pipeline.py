@@ -54,16 +54,15 @@ def make_rx_step(mod: Mod, n_sym: int):
     pil_l = np.tile(tables.PILOT_L, q)
 
     def step(x2: jnp.ndarray, t0: jnp.ndarray):
-        x = r2c(x2)
-        ltf_start, cfo, snr = sync.sync_front(x, t0, q=q)
+        ltf_start, cfo, snr = sync.sync_front_iq(x2, t0, q=q)
 
-        # ONE aligned gather: everything downstream is static slicing of z
-        # (anchor = ltf_start-16q). The CFO ramp uses z-local indices; the
-        # constant phase offset vs absolute time is common to the LTF
-        # channel estimate and every data symbol, so it cancels in
-        # equalization.
+        # ONE aligned window slice (on flat f32 I/Q — see batch_slice_iq):
+        # everything downstream is static slicing of z (anchor =
+        # ltf_start-16q). The CFO ramp uses z-local indices; the constant
+        # phase offset vs absolute time is common to the LTF channel
+        # estimate and every data symbol, so it cancels in equalization.
         zlen = 32 * q + data_offset() + 80 * q * n_sym
-        z = sync._batch_slice(x, ltf_start - gi, zlen)
+        z = r2c(sync.batch_slice_iq(x2, ltf_start - gi, zlen))
         z = z * jnp.exp(1j * cfo[:, None]
                         * jnp.arange(zlen, dtype=jnp.float32)[None, :])
 

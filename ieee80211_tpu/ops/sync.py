@@ -80,6 +80,35 @@ def _batch_slice(x: jnp.ndarray, start: jnp.ndarray, length: int
         lambda xb, s: jax.lax.dynamic_slice(xb, (s,), (length,)))(x, start)
 
 
+def batch_slice_iq(x2: jnp.ndarray, start: jnp.ndarray, length: int
+                   ) -> jnp.ndarray:
+    """Per-row window slice on float32 I/Q: [B, N, 2] -> [B, length, 2].
+
+    Slices the FLAT [B, 2N] view (start doubled): XLA lowers a flat
+    per-row dynamic_slice >10x faster than one with a trailing pair axis
+    or a complex64 row (measured on v5e), so complexify AFTER slicing.
+    """
+    b, n, _ = x2.shape
+    xf = x2.reshape(b, 2 * n)
+    seg = jax.vmap(lambda xb, s: jax.lax.dynamic_slice(
+        xb, (2 * s,), (2 * length,)))(xf, start.astype(jnp.int32))
+    return seg.reshape(b, length, 2)
+
+
+def sync_front_iq(x2: jnp.ndarray, t0: jnp.ndarray, n_prod: int = 144,
+                  lag: int = 16, n_lag: int = 176, thresh: float = 0.88,
+                  q: int = 1):
+    """sync_front taking the raw [B, N, 2] float32 I/Q (one FLAT window
+    slice, then complexify — see batch_slice_iq)."""
+    from ..utils.riq import r2c
+    n_prod, lag, n_lag = n_prod * q, lag * q, n_lag * q
+    win = n_lag + 192 * q
+    w = r2c(batch_slice_iq(x2, t0, 80 * q + win))
+    acc = jnp.sum(w[:, :n_prod] * jnp.conj(w[:, lag:lag + n_prod]), axis=-1)
+    cfo_c = jnp.arctan2(jnp.imag(acc), jnp.real(acc)) / lag
+    return _ltf_sync_window(w[:, 80 * q:], t0, cfo_c, n_lag, thresh, q)
+
+
 def coarse_cfo(x: jnp.ndarray, t0: jnp.ndarray, n_prod: int = 144,
                lag: int = 16) -> jnp.ndarray:
     """Coarse CFO (rad/sample) from the STF: angle of the averaged lag-16
@@ -106,9 +135,16 @@ def _ltf_sync_window(y: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
                     * jnp.arange(win, dtype=jnp.float32)[None, :])
     prod = y[:, :-p] * jnp.conj(y[:, p:])
     pwr = jnp.abs(y) ** 2
-    num = _movsum(prod, p)
-    p1 = _movsum(pwr[:, :-p], p)
-    p2 = _movsum(pwr[:, p:], p)
+    # all four real moving sums as ONE banded matmul (stacked on the batch
+    # axis): fewer kernel launches than four separate movsums
+    b = y.shape[0]
+    stacked = jnp.concatenate([jnp.real(prod), jnp.imag(prod),
+                               pwr[:, :-p], pwr[:, p:]], axis=0)
+    band = jnp.asarray(_band_mat(stacked.shape[-1], p))
+    ms = jnp.matmul(stacked, band, preferred_element_type=jnp.float32)
+    num = jax.lax.complex(ms[:b], ms[b:2 * b])
+    p1 = ms[2 * b:3 * b]
+    p2 = ms[3 * b:]
     ac = (jnp.abs(num) / (jnp.sqrt(p1 * p2) + 1e-12))[:, :n_lag]
     mx = jnp.max(ac, axis=-1)
     mask = ac >= thresh * mx[:, None]

@@ -93,7 +93,7 @@ def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176,
     from ..utils.riq import r2c
     bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[q]
     x = r2c(x2)
-    ltf_start, cfo, snr = sync.sync_front(x, t0, n_lag=n_lag, q=q)
+    ltf_start, cfo, snr = sync.sync_front_iq(x2, t0, n_lag=n_lag, q=q)
     y = sync.apply_cfo_correction(x, cfo)
     nfft, gi, sh, sym = 64 * q, 16 * q, 8 * q, 80 * q
 
