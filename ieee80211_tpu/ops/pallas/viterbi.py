@@ -25,10 +25,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ...specs import CR, tables
 from ..coding import depuncture
 
-TB = 512         # default batch tile (multiple of the 128-lane width);
+TB = 1024        # default batch tile (multiple of the 128-lane width);
                  # wider tiles amortize the per-iteration overhead of the
-                 # sequential ACS loop (measured: 512 beats 128 by ~25%)
-RADIX = 4
+                 # sequential ACS loop (measured: 1024 beats 128 by ~30%;
+                 # enabled by survivor packing which halves VMEM)
+RADIX = 4        # supported radix: 3 or 4 (k<=2 shapes lay out badly on
+                 # the VPU and are not maintained)
 NEG = -1e30
 
 
@@ -48,12 +50,20 @@ def _w_cat(k: int) -> np.ndarray:
     return out
 
 
-def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128):
+def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
+            pack: int = 1, renorm: int = 1):
+    """pack = trellis blocks per survivor byte (k*pack <= 8): decisions are
+    shift-packed into one int8 plane every `pack` steps, cutting survivor
+    VMEM by pack x (what allows whole-batch tiles). renorm = metric renorm
+    period in blocks (growth per block <= 2k*max|LLR| — renorming every
+    step is wasted vector work)."""
     npaths = 1 << k
     n_low = 64 // npaths
     n_ch = n_blk // chunk
+    assert k * pack <= 8 and chunk % pack == 0
 
-    def kernel(llr_hbm, wmat_ref, bits_ref, dec_ref, m_ref, buf, sem):
+    def kernel(llr_hbm, wmat_ref, bits_ref, dec_ref, m_ref, pk_ref,
+               buf, sem):
         i = pl.program_id(0)
 
         def dma(slot, c):
@@ -82,6 +92,7 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128):
             dma(slot, c).wait()
 
             def fwd_step(tt, _):
+                t = c * chunk + tt
                 lb = buf[slot, tt]                  # [k, 2, TB]
                 llr2 = lb.reshape(2 * k, TB)
                 bm = jnp.dot(wmat, llr2,
@@ -93,11 +104,39 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128):
                 # broadcast over hi.
                 cand = (bm.reshape(npaths, n_low, npaths, TB)
                         + m.reshape(n_low, npaths, TB)[None, :, :, :])
-                dec = jnp.argmax(cand, axis=2).astype(jnp.int8)
-                new_m = jnp.max(cand, axis=2).reshape(64, TB)
-                new_m = new_m - jnp.max(new_m, axis=0, keepdims=True)
-                m_ref[:] = new_m
-                dec_ref[c * chunk + tt] = dec.reshape(64, TB)
+                if npaths == 2:
+                    c0 = cand[:, :, 0]
+                    c1 = cand[:, :, 1]
+                    dec = (c1 > c0).astype(jnp.int32).reshape(64, TB)
+                    new_m = jnp.maximum(c0, c1).reshape(64, TB)
+                else:
+                    dec = jnp.argmax(cand, axis=2).astype(
+                        jnp.int32).reshape(64, TB)
+                    new_m = jnp.max(cand, axis=2).reshape(64, TB)
+
+                @pl.when(t % renorm == renorm - 1)
+                def _():
+                    m_ref[:] = (new_m
+                                - jnp.max(new_m, axis=0, keepdims=True))
+
+                @pl.when(t % renorm != renorm - 1)
+                def _():
+                    m_ref[:] = new_m
+
+                if pack == 1:
+                    dec_ref[t] = dec.astype(jnp.int8)
+                else:
+                    @pl.when(t % pack == 0)
+                    def _():
+                        pk_ref[:] = dec
+
+                    @pl.when(t % pack != 0)
+                    def _():
+                        pk_ref[:] = (pk_ref[:] << k) | dec
+
+                    @pl.when(t % pack == pack - 1)
+                    def _():
+                        dec_ref[t // pack] = pk_ref[:].astype(jnp.int8)
                 return 0
 
             jax.lax.fori_loop(0, chunk, fwd_step, 0)
@@ -109,15 +148,19 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128):
         m_fin = m_ref[:]
         state = jnp.argmax(m_fin, axis=0).astype(jnp.int32)   # [TB]
 
+        mask_k = (1 << k) - 1
+
         def back_group(gg, state):
             rows = []
             for j in range(8):                    # static unroll
                 t = n_blk - 1 - (gg * 8 + j)
-                dec_t = dec_ref[t]                # [64, TB] int8
+                dec_t = dec_ref[t // pack].astype(jnp.int32)  # [64, TB]
+                if pack > 1:
+                    sh = k * (pack - 1 - (t % pack))
+                    dec_t = (dec_t >> sh) & mask_k
                 sel = row == state[None, :]
-                d = jnp.sum(jnp.where(sel, dec_t.astype(jnp.int32), 0),
-                            axis=0)
-                packed = (state >> (6 - k)) & ((1 << k) - 1)
+                d = jnp.sum(jnp.where(sel, dec_t, 0), axis=0)
+                packed = (state >> (6 - k)) & mask_k
                 rows.append(packed)
                 state = ((state & (n_low - 1)) << k) + d
             block = jnp.stack(rows[::-1], axis=0)  # ascending t within group
@@ -131,9 +174,10 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128):
 
 
 @lru_cache(maxsize=None)
-def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128):
+def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
+                pack: int = 1, renorm: int = 1):
     npaths = 1 << k
-    kern = _kernel(n_blk, chunk, k, TB)
+    kern = _kernel(n_blk, chunk, k, TB, pack, renorm)
     return pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -145,9 +189,10 @@ def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blk, n_tiles * TB), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((n_blk, 64, TB), jnp.int8),         # decisions
-            pltpu.VMEM((64, TB), jnp.float32),             # metrics
-            pltpu.VMEM((2, chunk, k, 2, TB), jnp.float32), # llr double buf
+            pltpu.VMEM((n_blk // pack, 64, TB), jnp.int8),  # survivors
+            pltpu.VMEM((64, TB), jnp.float32),              # metrics
+            pltpu.VMEM((64, TB), jnp.int32),                # pack acc
+            pltpu.VMEM((2, chunk, k, 2, TB), jnp.float32),  # llr double buf
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -155,23 +200,27 @@ def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128):
     )
 
 
-def _pick_chunk(n_blk: int) -> int:
+def _pick_chunk(n_blk: int, pack: int = 1) -> int:
     for c in (64, 52, 40, 32, 26, 20, 16, 13, 8, 5, 4, 2, 1):
-        if n_blk % c == 0:
+        if n_blk % c == 0 and c % pack == 0:
             return c
-    return 1
+    return pack
 
 
 def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
-                          radix: int = RADIX, tb: int = TB) -> jnp.ndarray:
+                          radix: int = RADIX, tb: int = TB,
+                          pack: int = None,
+                          renorm: int = 16) -> jnp.ndarray:
     """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32."""
     k = radix
     b = llrs.shape[0]
+    if pack is None:
+        pack = 8 // k
     tb = min(tb, -(-b // 128) * 128)
     n_blk = -(-(-(-n_bits // k)) // 8) * 8        # multiple of 8 groups
-    # decisions scratch is [n_blk, 64, tb] int8 and must fit in VMEM:
+    # survivor scratch is [n_blk/pack, 64, tb] int8 and must fit in VMEM:
     # shrink the batch tile for long trellises (e.g. 80 MHz high-MCS)
-    while tb > 128 and n_blk * 64 * tb > 80 * 1024 * 1024:
+    while tb > 128 and n_blk // pack * 64 * tb > 80 * 1024 * 1024:
         tb //= 2
     t_pad = n_blk * k
     lp = depuncture(llrs, cr, n_bits)                      # [B, n_bits, 2]
@@ -182,8 +231,8 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
         lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
     # [B, T, 2] -> [nBlk, k, 2, B]
     ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, k, 2), 0, -1)
-    chunk = _pick_chunk(n_blk)
-    call = _build_call(n_blk, chunk, k, b_pad // tb, tb)
+    chunk = _pick_chunk(n_blk, pack)
+    call = _build_call(n_blk, chunk, k, b_pad // tb, tb, pack, renorm)
     wmat = jnp.asarray(_w_cat(k))
     packed = call(ltr, wmat)                               # [nBlk, B] int32
     packed = jnp.moveaxis(packed, 0, 1)[:b]                # [B, nBlk]
