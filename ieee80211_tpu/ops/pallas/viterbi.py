@@ -51,12 +51,16 @@ def _w_cat(k: int) -> np.ndarray:
 
 
 def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
-            pack: int = 1, renorm: int = 1):
+            pack: int = 1, renorm: int = 1, dt=jnp.float32):
     """pack = trellis blocks per survivor byte (k*pack <= 8): decisions are
     shift-packed into one int8 plane every `pack` steps, cutting survivor
     VMEM by pack x (what allows whole-batch tiles). renorm = metric renorm
     period in blocks (growth per block <= 2k*max|LLR| — renorming every
-    step is wasted vector work)."""
+    step is wasted vector work). dt = metric dtype: bfloat16 halves the
+    dominant per-step traffic (the [64*2^k, TB] branch-metric/candidate
+    planes); decisions only need *relative* metric order, and the renorm
+    keeps magnitudes small enough that bf16 ulp ≪ typical decision
+    margins (PDR curves verified unchanged at the sweep operating point)."""
     npaths = 1 << k
     n_low = 64 // npaths
     n_ch = n_blk // chunk
@@ -78,7 +82,7 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
 
         # init metrics: state 0 = 0, rest = NEG
         row = jax.lax.broadcasted_iota(jnp.int32, (64, TB), 0)
-        m_ref[:] = jnp.where(row == 0, 0.0, NEG).astype(jnp.float32)
+        m_ref[:] = jnp.where(row == 0, 0.0, NEG).astype(dt)
 
         wmat = wmat_ref[:]                         # [64*2^k, 2k]
 
@@ -96,7 +100,7 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
                 lb = buf[slot, tt]                  # [k, 2, TB]
                 llr2 = lb.reshape(2 * k, TB)
                 bm = jnp.dot(wmat, llr2,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32).astype(dt)
                 m = m_ref[:]
                 # state s = hi * n_low + lo; predecessor of (s, path) is
                 # lo * npaths + path, so bm rows (s*npaths+p) reshape to
@@ -109,10 +113,26 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
                     c1 = cand[:, :, 1]
                     dec = (c1 > c0).astype(jnp.int32).reshape(64, TB)
                     new_m = jnp.maximum(c0, c1).reshape(64, TB)
-                else:
+                elif dt == jnp.float32:
                     dec = jnp.argmax(cand, axis=2).astype(
                         jnp.int32).reshape(64, TB)
                     new_m = jnp.max(cand, axis=2).reshape(64, TB)
+                else:
+                    # Mosaic argmax only lowers for f32: explicit
+                    # compare/select tournament (same vector op count)
+                    # compare/select tournament; the index plane updates
+                    # arithmetically (i32 selects on a bf16-born mask hit
+                    # Mosaic relayout limits)
+                    best_v = cand[:, :, 0].reshape(64, TB)
+                    best_i = jnp.zeros((64, TB), jnp.int32)
+                    for p in range(1, npaths):
+                        v = cand[:, :, p].reshape(64, TB)
+                        take = v > best_v
+                        ti = take.astype(jnp.int32)
+                        best_i = best_i + ti * (p - best_i)
+                        best_v = jnp.maximum(v, best_v)
+                    dec = best_i
+                    new_m = best_v
 
                 @pl.when(t % renorm == renorm - 1)
                 def _():
@@ -145,7 +165,7 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
         jax.lax.fori_loop(0, n_ch, fwd_chunk, 0)
 
         # traceback: packed k-bit words, stored in aligned 8-row groups
-        m_fin = m_ref[:]
+        m_fin = m_ref[:].astype(jnp.float32)
         state = jnp.argmax(m_fin, axis=0).astype(jnp.int32)   # [TB]
 
         mask_k = (1 << k) - 1
@@ -175,9 +195,9 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
 
 @lru_cache(maxsize=None)
 def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
-                pack: int = 1, renorm: int = 1):
+                pack: int = 1, renorm: int = 1, dt=jnp.float32):
     npaths = 1 << k
-    kern = _kernel(n_blk, chunk, k, TB, pack, renorm)
+    kern = _kernel(n_blk, chunk, k, TB, pack, renorm, dt)
     return pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -190,9 +210,9 @@ def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
         out_shape=jax.ShapeDtypeStruct((n_blk, n_tiles * TB), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((n_blk // pack, 64, TB), jnp.int8),  # survivors
-            pltpu.VMEM((64, TB), jnp.float32),              # metrics
+            pltpu.VMEM((64, TB), dt),                       # metrics
             pltpu.VMEM((64, TB), jnp.int32),                # pack acc
-            pltpu.VMEM((2, chunk, k, 2, TB), jnp.float32),  # llr double buf
+            pltpu.VMEM((2, chunk, k, 2, TB), dt),           # llr double buf
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -210,8 +230,10 @@ def _pick_chunk(n_blk: int, pack: int = 1) -> int:
 def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
                           radix: int = RADIX, tb: int = TB,
                           pack: int = None,
-                          renorm: int = 16) -> jnp.ndarray:
+                          renorm: int = 16,
+                          dtype=jnp.bfloat16) -> jnp.ndarray:
     """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32."""
+    dt = dtype
     k = radix
     b = llrs.shape[0]
     if pack is None:
@@ -230,10 +252,10 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
     if b_pad != b:
         lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
     # [B, T, 2] -> [nBlk, k, 2, B]
-    ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, k, 2), 0, -1)
+    ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, k, 2), 0, -1).astype(dt)
     chunk = _pick_chunk(n_blk, pack)
-    call = _build_call(n_blk, chunk, k, b_pad // tb, tb, pack, renorm)
-    wmat = jnp.asarray(_w_cat(k))
+    call = _build_call(n_blk, chunk, k, b_pad // tb, tb, pack, renorm, dt)
+    wmat = jnp.asarray(_w_cat(k)).astype(dt)
     packed = call(ltr, wmat)                               # [nBlk, B] int32
     packed = jnp.moveaxis(packed, 0, 1)[:b]                # [B, nBlk]
     bits = (packed[:, :, None] >> jnp.arange(k, dtype=jnp.int32)) & 1
