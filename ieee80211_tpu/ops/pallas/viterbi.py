@@ -25,10 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ...specs import CR, tables
 from ..coding import depuncture
 
-TB = 1024        # default batch tile (multiple of the 128-lane width);
+TB = 512         # default batch tile (multiple of the 128-lane width);
                  # wider tiles amortize the per-iteration overhead of the
-                 # sequential ACS loop (measured: 1024 beats 128 by ~30%;
-                 # enabled by survivor packing which halves VMEM)
+                 # sequential ACS loop (TPU sweep: 512 beats 128 by ~25%
+                 # and beats 1024 — the config behind the 303 Msps run)
 RADIX = 4        # supported radix: 3 or 4 (k<=2 shapes lay out badly on
                  # the VPU and are not maintained)
 NEG = -1e30
@@ -56,11 +56,12 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
     shift-packed into one int8 plane every `pack` steps, cutting survivor
     VMEM by pack x (what allows whole-batch tiles). renorm = metric renorm
     period in blocks (growth per block <= 2k*max|LLR| — renorming every
-    step is wasted vector work). dt = metric dtype: bfloat16 halves the
-    dominant per-step traffic (the [64*2^k, TB] branch-metric/candidate
-    planes); decisions only need *relative* metric order, and the renorm
-    keeps magnitudes small enough that bf16 ulp ≪ typical decision
-    margins (PDR curves verified unchanged at the sweep operating point)."""
+    step is wasted vector work). dt = STORAGE dtype for the metric plane,
+    the LLR double buffer and wmat: bfloat16 halves the LLR DMA traffic
+    and metric VMEM. All per-step COMPUTE (branch metrics, add, compare,
+    select, renorm) runs in float32 regardless of dt — Mosaic on this
+    target rejects bf16 arith.cmpf, and f32 compute avoids every such
+    hazard while keeping the memory savings."""
     npaths = 1 << k
     n_low = 64 // npaths
     n_ch = n_blk // chunk
@@ -100,8 +101,8 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
                 lb = buf[slot, tt]                  # [k, 2, TB]
                 llr2 = lb.reshape(2 * k, TB)
                 bm = jnp.dot(wmat, llr2,
-                             preferred_element_type=jnp.float32).astype(dt)
-                m = m_ref[:]
+                             preferred_element_type=jnp.float32)
+                m = m_ref[:].astype(jnp.float32)
                 # state s = hi * n_low + lo; predecessor of (s, path) is
                 # lo * npaths + path, so bm rows (s*npaths+p) reshape to
                 # [hi, lo, p] and the metric m reshapes to [lo, p],
@@ -113,35 +114,20 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
                     c1 = cand[:, :, 1]
                     dec = (c1 > c0).astype(jnp.int32).reshape(64, TB)
                     new_m = jnp.maximum(c0, c1).reshape(64, TB)
-                elif dt == jnp.float32:
+                else:
                     dec = jnp.argmax(cand, axis=2).astype(
                         jnp.int32).reshape(64, TB)
                     new_m = jnp.max(cand, axis=2).reshape(64, TB)
-                else:
-                    # Mosaic argmax only lowers for f32: explicit
-                    # compare/select tournament (same vector op count)
-                    # compare/select tournament; the index plane updates
-                    # arithmetically (i32 selects on a bf16-born mask hit
-                    # Mosaic relayout limits)
-                    best_v = cand[:, :, 0].reshape(64, TB)
-                    best_i = jnp.zeros((64, TB), jnp.int32)
-                    for p in range(1, npaths):
-                        v = cand[:, :, p].reshape(64, TB)
-                        take = v > best_v
-                        ti = take.astype(jnp.int32)
-                        best_i = best_i + ti * (p - best_i)
-                        best_v = jnp.maximum(v, best_v)
-                    dec = best_i
-                    new_m = best_v
 
                 @pl.when(t % renorm == renorm - 1)
                 def _():
                     m_ref[:] = (new_m
-                                - jnp.max(new_m, axis=0, keepdims=True))
+                                - jnp.max(new_m, axis=0,
+                                          keepdims=True)).astype(dt)
 
                 @pl.when(t % renorm != renorm - 1)
                 def _():
-                    m_ref[:] = new_m
+                    m_ref[:] = new_m.astype(dt)
 
                 if pack == 1:
                     dec_ref[t] = dec.astype(jnp.int8)
@@ -195,11 +181,13 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
 
 @lru_cache(maxsize=None)
 def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
-                pack: int = 1, renorm: int = 1, dt=jnp.float32):
+                pack: int = 1, renorm: int = 1, dt=jnp.float32,
+                interpret: bool = False):
     npaths = 1 << k
     kern = _kernel(n_blk, chunk, k, TB, pack, renorm, dt)
     return pl.pallas_call(
         kern,
+        interpret=interpret,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),          # llr in HBM
@@ -231,8 +219,13 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
                           radix: int = RADIX, tb: int = TB,
                           pack: int = None,
                           renorm: int = 16,
-                          dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32."""
+                          dtype=jnp.float32,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32.
+
+    interpret=True runs the kernel through the Pallas interpreter on any
+    backend — the CPU-CI numerics gate for every exposed config (the bf16
+    default regression of round 1 would have been caught here)."""
     dt = dtype
     k = radix
     b = llrs.shape[0]
@@ -254,7 +247,8 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
     # [B, T, 2] -> [nBlk, k, 2, B]
     ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, k, 2), 0, -1).astype(dt)
     chunk = _pick_chunk(n_blk, pack)
-    call = _build_call(n_blk, chunk, k, b_pad // tb, tb, pack, renorm, dt)
+    call = _build_call(n_blk, chunk, k, b_pad // tb, tb, pack, renorm, dt,
+                       interpret)
     wmat = jnp.asarray(_w_cat(k)).astype(dt)
     packed = call(ltr, wmat)                               # [nBlk, B] int32
     packed = jnp.moveaxis(packed, 0, 1)[:b]                # [B, nBlk]

@@ -15,8 +15,13 @@ os.environ.setdefault("MPLBACKEND", "Agg")
 import jax
 
 # Note: the TPU plugin in this environment ignores JAX_PLATFORMS; the config
-# knob is authoritative. Tests must run on the virtual 8-device CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+# knob is authoritative. Tests run on the virtual 8-device CPU mesh, EXCEPT
+# when RUN_TPU_TESTS=1 is set: then the real backend is kept so that
+# tests/test_tpu_smoke.py can compile the default Pallas kernel configs and
+# the flagship RxPipeline on actual TPU hardware (the round-1 bf16 Mosaic
+# regression was invisible to CPU-only CI).
+if os.environ.get("RUN_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 
