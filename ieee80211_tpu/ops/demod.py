@@ -159,12 +159,15 @@ def demap_llr(eq: jnp.ndarray, mod: M) -> jnp.ndarray:
     return stacked.reshape(eq.shape[:-1] + (-1,))
 
 
-def evm_snr_db(eq: jnp.ndarray, mod: M, axes=(-2, -1)) -> jnp.ndarray:
+def evm_snr_db(eq: jnp.ndarray, mod: M, axes=(-2, -1),
+               sym_mask: jnp.ndarray = None) -> jnp.ndarray:
     """EVM-based SNR from equalized data tones (per-stream SNR analog of
     the reference's SIG-B re-encode measurement, lib/demod_impl.cc:449-505).
 
     eq: [..., S, nSD] equalized constellation points. The error vector is
     taken against the per-axis quantized (hard-decision) constellation.
+    sym_mask: optional [..., S] 0/1 weights — symbols with weight 0 (e.g.
+    bucket-padding junk past the true packet end) are excluded.
     """
     if mod in (M.BPSK, M.QBPSK):
         kmod = 1.0
@@ -190,8 +193,14 @@ def evm_snr_db(eq: jnp.ndarray, mod: M, axes=(-2, -1)) -> jnp.ndarray:
         im = quant(jnp.imag(v))
     err = (jnp.real(v) - re) ** 2 + (jnp.imag(v) - im) ** 2
     sig = re ** 2 + im ** 2
-    p_err = jnp.mean(err, axis=axes)
-    p_sig = jnp.mean(sig, axis=axes)
+    if sym_mask is not None:
+        w = sym_mask[..., None].astype(err.dtype)
+        denom = jnp.maximum(jnp.sum(w * jnp.ones_like(err), axis=axes), 1.0)
+        p_err = jnp.sum(err * w, axis=axes) / denom
+        p_sig = jnp.sum(sig * w, axis=axes) / denom
+    else:
+        p_err = jnp.mean(err, axis=axes)
+        p_sig = jnp.mean(sig, axis=axes)
     return 10.0 * jnp.log10(jnp.maximum(p_sig, 1e-12)
                             / jnp.maximum(p_err, 1e-12))
 
@@ -288,12 +297,19 @@ def mimo_equalize_2x2(grids: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
 
 
 def demod_data_siso(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
-                    n_sym: int, pidx0: int, with_snr: bool = False):
+                    n_sym: int, pidx0: int, with_snr: bool = False,
+                    n_valid_sym: jnp.ndarray = None):
     """Equalize+track+demap+deinterleave the DATA field.
 
     sym_grids: [B, n_sym, nfft] raw FFT grids; chan: [B, nfft].
     Returns LLRs in coded-bit order [B, n_sym * nCBPSS]; with with_snr also
     the per-packet EVM SNR [B] in dB.
+
+    n_valid_sym: optional traced [B] int32 — the true per-packet symbol
+    count when n_sym is a static BUCKET (compile-count bounding): LLRs of
+    symbols >= n_valid_sym are forced to 0 (path-neutral in the Viterbi)
+    and excluded from the EVM, so one compiled program serves every packet
+    length within the bucket.
     """
     legacy = mod.fmt == F.L
     key = (mod.bw, legacy)
@@ -305,6 +321,14 @@ def demod_data_siso(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
     llr = demap_llr(data, mod.mod)                        # [B, S, nCBPSS]
     perm = jnp.asarray(ilv.rx_perm(mod, 0))
     out = llr[..., perm].reshape(llr.shape[0], -1)
+    if n_valid_sym is None:
+        if with_snr:
+            return out, evm_snr_db(data, mod.mod)
+        return out
+    sym_of = jnp.arange(n_sym, dtype=jnp.int32)
+    m = sym_of[None, :] < n_valid_sym[:, None]            # [B, S]
+    ncbpss = out.shape[1] // n_sym
+    out = jnp.where(jnp.repeat(m, ncbpss, axis=1), out, 0.0)
     if with_snr:
-        return out, evm_snr_db(data, mod.mod)
+        return out, evm_snr_db(data, mod.mod, sym_mask=m)
     return out

@@ -1,0 +1,89 @@
+"""Acceptance-sweep harness smoke + committed-artifact threshold checks.
+
+The full reference-scale sweep (100 pkts x SNR 0-30 x 42 MCS configs,
+perf_siso.py:126-180 / perf_sumimo.py semantics) runs on TPU via
+`python -m ieee80211_tpu.perf.acceptance` and commits its artifact to
+artifacts/pdr_acceptance.json. This file (a) smoke-tests the harness end
+to end at tiny scale on CPU, and (b) asserts receiver-quality thresholds
+on the committed artifact so a quality regression that re-runs the sweep
+goes red.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ieee80211_tpu.perf.acceptance import _snr_at, run_acceptance
+
+ART = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "pdr_acceptance.json")
+
+# Maximum acceptable waterfall position (SNR @ sustained 90% PDR, dB) per
+# MCS at the reference operating point (500 B payload, AWGN, amp 0.1875).
+# Values = textbook AWGN requirement for the constellation/rate + ~3 dB
+# implementation margin; a receiver regression (sync, chan-est, LLR
+# scaling, Viterbi) pushes the waterfall right and trips these.
+MAX_WATERFALL_SISO = {
+    "L0": 7, "L1": 9, "L2": 10, "L3": 12, "L4": 15, "L5": 19, "L6": 21,
+    "L7": 23,
+    "HT0": 7, "HT1": 10, "HT2": 12, "HT3": 15, "HT4": 19, "HT5": 23,
+    "HT6": 24, "HT7": 26,
+    "VHT0": 7, "VHT1": 10, "VHT2": 12, "VHT3": 15, "VHT4": 19, "VHT5": 23,
+    "VHT6": 24, "VHT7": 26, "VHT8": 30,
+}
+# 2x2 spatial multiplexing over an identity-ish channel needs a few dB
+# more (per-stream noise enhancement of the ZF equalizer).
+MIMO_EXTRA_DB = 5
+
+
+def test_harness_smoke_tiny():
+    """One SISO + one MIMO config, 2 SNR points, 4 packets, on CPU."""
+    import ieee80211_tpu.perf.acceptance as acc
+    from ieee80211_tpu.perf.pdr import (MimoRxPipeline, _build_mimo_packet,
+                                        _build_packet)
+    from ieee80211_tpu.models import RxPipeline
+    from ieee80211_tpu.specs import F
+
+    siso = acc._sweep_curves(_build_packet, RxPipeline, [(F.VHT, 7)],
+                             [10.0, 30.0], 4, 100, 0, lambda m: None)
+    assert siso["VHT7"][1] == 1.0          # clean decode at 30 dB
+    assert siso["VHT7"][0] <= siso["VHT7"][1]
+    mimo = acc._sweep_curves(_build_mimo_packet, MimoRxPipeline,
+                             [(F.HT, 8)], [30.0], 4, 100, 0, lambda m: None)
+    assert mimo["HT8"][0] == 1.0
+
+
+def test_snr_at_helper():
+    assert _snr_at([0, 1, 2, 3], [0.0, 0.95, 0.8, 1.0], 0.9) == 3
+    assert _snr_at([0, 1, 2], [0.0, 0.95, 1.0], 0.9) == 1
+    assert _snr_at([0, 1], [0.0, 0.5], 0.9) is None
+
+
+@pytest.mark.skipif(not os.path.exists(ART),
+                    reason="full-sweep artifact not generated yet")
+def test_committed_artifact_thresholds():
+    with open(ART) as f:
+        art = json.load(f)
+    assert art["n_pkt"] >= 100 and art["payload_len"] == 500
+    assert list(art["snr_db"]) == list(range(0, 31))
+
+    wf = art["waterfall_90pct"]
+    for name, limit in MAX_WATERFALL_SISO.items():
+        got = wf["siso"].get(name)
+        assert got is not None, f"siso {name}: never reaches 90% PDR"
+        assert got <= limit, f"siso {name}: waterfall {got} > {limit} dB"
+
+    # every MIMO config must deliver >=90% sustained within the sweep and
+    # sit within MIMO_EXTRA_DB of its SISO sibling's limit
+    for name, got in wf["mimo_2x2"].items():
+        assert got is not None, f"mimo {name}: never reaches 90% PDR"
+        base = name if name in MAX_WATERFALL_SISO else \
+            f"HT{int(name[2:]) - 8}"  # HT8-15 are the 2-stream MCS indices
+        assert got <= MAX_WATERFALL_SISO[base] + MIMO_EXTRA_DB, \
+            f"mimo {name}: waterfall {got} dB too high"
+
+    # curves must be (noisily) monotone: PDR at 30 dB is 1.0 everywhere
+    for grp in art["curves"].values():
+        for name, curve in grp.items():
+            assert curve[-1] == 1.0, f"{name}: PDR@30dB = {curve[-1]}"
