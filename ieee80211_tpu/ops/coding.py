@@ -133,6 +133,9 @@ def _viterbi_core(lp: jnp.ndarray, m0: jnp.ndarray, radix: int
     n_blk = t_pad // k
     w0, w1 = _radix_tables(k)                          # [64, 2^k, k]
     lpb = jnp.moveaxis(lp, 1, 0).reshape(n_blk, k, b, 2)
+    # under shard_map the scan carry's varying-axes set must match the
+    # data's; deriving m0 from lp makes this hold in sharded callers
+    m0 = m0 + 0.0 * lp[:, :1, 0]
     n_low = 1 << (6 - k)
     n_path = 1 << k
 
