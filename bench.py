@@ -198,6 +198,103 @@ def main():
     except Exception:
         pass
 
+    # secondary metric: VHT 2x2 MU-MIMO TX with runtime spatial-mapping Q
+    # (BASELINE.md config 5; reference analog tools/cmu_v3/cmu_ap.py:204-212)
+    mu_sps = 0.0
+    try:
+        from ieee80211_tpu.mac import MacConfig as _MC2
+        from ieee80211_tpu.mac import aggregate_vht as _agg2
+        from ieee80211_tpu.mac import build_udp_mpdu as _bum2
+        from ieee80211_tpu.specs import BW as _BW2
+        from ieee80211_tpu.specs import F as _F2
+        from ieee80211_tpu.specs import Mod as _Mod2
+        from ieee80211_tpu.tx.jax_tx import MuTxPipeline
+        from ieee80211_tpu.utils import c2r as _c2r2
+        _cfg2 = _MC2(subtype=8, addr1="f4:69:d5:80:0f:a0",
+                     addr2="00:c0:ca:b1:5b:e1", addr3="f4:69:d5:80:0f:a0",
+                     seq=2704)
+        rng = np.random.default_rng(2)
+        a0 = _agg2([_bum2(bytes(rng.integers(0, 256, 500, dtype=np.uint8)),
+                          _cfg2)])
+        a1 = _agg2([_bum2(bytes(rng.integers(0, 256, 300, dtype=np.uint8)),
+                          _cfg2)])
+        mods = [_Mod2(_F2.VHT, 4, _BW2.BW20, 1), _Mod2(_F2.VHT, 2, _BW2.BW20, 1)]
+        mu = MuTxPipeline(mods, [len(a0), len(a1)])
+        qm, _ = np.linalg.qr(rng.normal(size=(64, 2, 2))
+                             + 1j * rng.normal(size=(64, 2, 2)))
+        mu_batch = max(batch // 8, 1)
+        p0 = jnp.asarray(np.tile(np.frombuffer(a0, np.uint8), (mu_batch, 1)))
+        p1 = jnp.asarray(np.tile(np.frombuffer(a1, np.uint8), (mu_batch, 1)))
+        qd = jnp.asarray(_c2r2(qm.astype(np.complex64)))
+
+        @jax.jit
+        def mu_k(pa, pb, q):
+            def body(i, c):
+                s, qq = c
+                s2 = jnp.sum(mu.step((pa, pb), qq)[:, 0, 0, :])
+                return (s + s2, qq + s2 * jnp.float32(1e-30))
+            s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), q))
+            return s
+
+        np.asarray(mu_k(p0, p1, qd))
+        mts = []
+        for _ in range(5):
+            t = time.perf_counter()
+            np.asarray(mu_k(p0, p1, qd))
+            mts.append(time.perf_counter() - t)
+        # total emitted samples across both TX chains
+        mu_sps = mu_batch * 2 * mu.n_samp / max(
+            (np.median(mts) - rt) / K, 1e-9)
+    except Exception:
+        pass
+
+    # secondary metric: the PUBLIC API path — SisoReceiver.decode_capture on
+    # a multi-packet mixed-length capture (host loop + per-packet fetches;
+    # the honest gap vs the fixed-config pipeline, VERDICT weak #4)
+    api_pps = 0.0
+    api_msps = 0.0
+    try:
+        from ieee80211_tpu.mac import MacConfig as _MC3
+        from ieee80211_tpu.mac import aggregate_vht as _agg3
+        from ieee80211_tpu.mac import build_udp_mpdu as _bum3
+        from ieee80211_tpu.rx import SisoReceiver
+        from ieee80211_tpu.specs import F as _F3
+        from ieee80211_tpu.specs import Mod as _Mod3
+        from ieee80211_tpu.tx import finalize as _fin3
+        from ieee80211_tpu.tx import gen_ampdu as _ga3
+        from ieee80211_tpu.tx import gen_mpdu as _gm3
+        _cfg3 = _MC3(subtype=8, addr1="f4:69:d5:80:0f:a0",
+                     addr2="00:c0:ca:b1:5b:e1", addr3="f4:69:d5:80:0f:a0",
+                     seq=2704)
+        rng = np.random.default_rng(3)
+        parts = []
+        n_api = 20
+        for i in range(n_api):
+            pl = bytes(rng.integers(0, 256, int(rng.integers(100, 900)),
+                                    dtype=np.uint8))
+            if i % 2:
+                wv = _ga3(_agg3([_bum3(pl, _cfg3)]),
+                          _Mod3(_F3.VHT, 7)).waveform
+            else:
+                wv = _gm3(_bum3(pl, _MC3(addr1="f4:69:d5:80:0f:a0",
+                                         addr2="00:c0:ca:b1:5b:e1",
+                                         addr3="f4:69:d5:80:0f:a0")),
+                          _Mod3(_F3.HT, 5)).waveform
+            parts.append(_fin3(wv, multiplier=0.2, cfo_hz=float(
+                rng.uniform(-5e4, 5e4)), gap=True, gap_len=800)[0])
+        cap = np.concatenate(parts)
+        rxr = SisoReceiver()
+        res = rxr.decode_capture(cap)          # warm (compiles buckets)
+        ok = sum(1 for r in res if r.fcs_ok)
+        assert ok == n_api, f"API decode only {ok}/{n_api}"
+        t = time.perf_counter()
+        res = rxr.decode_capture(cap)
+        dt_api = time.perf_counter() - t
+        api_pps = len(res) / dt_api
+        api_msps = len(cap) / dt_api
+    except Exception:
+        pass
+
     baseline_sps = 20e6   # reference real-time operating point: 20 Msps
     print(json.dumps({
         "metric": "rx_decode_samples_per_sec_per_chip_vht_mcs7_20mhz",
@@ -211,6 +308,9 @@ def main():
             "packets_per_sec": round(batch / dt),
             "tx_gen_samples_per_sec_l_mcs0": round(tx_sps),
             "rx_decode_sps_vht80_mcs9": round(wb_sps),
+            "mu_tx_samples_per_sec_2user_2x2": round(mu_sps),
+            "api_decode_capture_packets_per_sec": round(api_pps, 1),
+            "api_decode_capture_samples_per_sec": round(api_msps),
             "backend": jax.default_backend(),
         },
     }))

@@ -49,9 +49,10 @@ def main(outdir="tmp"):
         save_complex_bin(os.path.join(
             outdir, f"sig80211GenMultipleMimo_2x2_{i}.bin"), mimo[i])
 
-    beacon_hex = ("80000000ffffffffffff244bfe6125ac244bfe6125acc0293e00f6ed6a"
-                  "01000064001111000e636c6f75645f61633836755f3547")
-    beacon = bytes.fromhex(beacon_hex)
+    from ieee80211_tpu.mac import build_beacon
+    beacon = build_beacon("cloud_ac86u_5G", "24:4b:fe:61:25:ac",
+                          "24:4b:fe:61:25:ac", seq=671, timestamp=23784950,
+                          interval_tu=100, capability=0x1111, channel=100)
     bc = finalize(gen_mpdu(beacon, Mod(F.L, 0)).waveform, 18.0, 234567.0,
                   gap_len=10000)
     save_complex_bin(os.path.join(outdir, "sig80211GenBeacon_1x1_0.bin"),

@@ -5,6 +5,8 @@ from .frames import (AmpduSubframe, MacConfig, ParsedMpdu, ParsedUdp,
                      build_mgmt_action_no_ack, build_udp, build_udp_mpdu,
                      build_vht_ndp_announcement, deaggregate_ht,
                      deaggregate_vht, parse_mpdu, parse_udp_mpdu)
+from .parse import (FrameControl, MgmtElement, ParsedFrame, build_beacon,
+                    build_element, parse_frame, parse_mgmt_elements)
 
 __all__ = [
     "AmpduSubframe", "MacConfig", "ParsedMpdu", "ParsedUdp", "aggregate_ht",
@@ -12,4 +14,6 @@ __all__ = [
     "build_llc", "build_mgmt_action_no_ack", "build_udp", "build_udp_mpdu",
     "build_vht_ndp_announcement", "deaggregate_ht", "deaggregate_vht",
     "parse_mpdu", "parse_udp_mpdu",
+    "FrameControl", "MgmtElement", "ParsedFrame", "build_beacon",
+    "build_element", "parse_frame", "parse_mgmt_elements",
 ]
