@@ -15,7 +15,7 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
-from ..mu.sounding import sta_capture_ndp, sta_decode_mu
+from ..mu.sounding import sta_decode_mu
 from ..rx import SisoReceiver
 from ..rx.mimo import MimoReceiver
 from ..specs import BW, F, GRF, Mod
@@ -85,11 +85,14 @@ class PhyService:
                 for mpdu in r.mpdus:
                     records.append(d.pack_rx_record(r.fmt.value, mpdu, r.mcs))
             return records
-        for r in self.siso_rx.decode_capture(capture):
+        # unified receiver pass: data packets AND NDP channel reports come
+        # from ONE decode (parity: lib/decode_impl.cc:100-121 emits the
+        # type-20 blob from the same chain that emits data)
+        pkts, ndps = self.siso_rx.decode_capture_full(capture)
+        for r in pkts:
             for mpdu in r.mpdus:
                 records.append(d.pack_rx_record(r.fmt.value, mpdu, r.mcs))
-        ndp = sta_capture_ndp(capture)
-        if ndp is not None:
+        for ndp in ndps:
             records.append(d.pack_channel_report(ndp.ltf_iq))
         if self.mugid:
             for r in sta_decode_mu(capture, self.mupos):

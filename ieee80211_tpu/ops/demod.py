@@ -294,6 +294,98 @@ def mimo_equalize_2x2(grids: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# 2x2 max-log ML detection
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _ml_candidates(mod: M):
+    """(points [Nc] complex64, bit0_masks [nBPSCS, Nc] bool) for one stream.
+
+    Candidate index == chip value, so bit p of the index is coded bit p of
+    the subcarrier group — the same layout demap_llr emits.
+    """
+    pts = np.asarray(tables.QAM_TAB[mod], dtype=np.complex64)
+    nb = int(np.log2(len(pts)))
+    idx = np.arange(len(pts))
+    masks = np.stack([(idx >> p) & 1 for p in range(nb)]).astype(bool)
+    return pts, masks
+
+
+def _slice_to_grid(z: jnp.ndarray, mod: M) -> jnp.ndarray:
+    """Exact nearest constellation point per scalar complex z (QAM grids
+    quantize per axis; BPSK/QBPSK collapse to one axis)."""
+    if mod == M.BPSK:
+        return jnp.sign(jnp.real(z)) + 0j
+    if mod == M.QBPSK:
+        return 1j * jnp.sign(jnp.imag(z))
+    nb_axis = {M.QPSK: 1, M.QAM16: 2, M.QAM64: 3, M.QAM256: 4,
+               M.QAM1024: 5}[mod]
+    kmod = float(tables.KMOD[mod])
+    lim = float((1 << nb_axis) - 1)
+    v = z * kmod
+
+    def q(a):
+        return jnp.clip(2 * jnp.round((a - 1) / 2) + 1, -lim, lim)
+    return jax.lax.complex(q(jnp.real(v)), q(jnp.imag(v))) / kmod
+
+
+def ml_detect_llr_2x2(gd: jnp.ndarray, h: jnp.ndarray, mod: M
+                      ) -> jnp.ndarray:
+    """Exact max-log ML soft detection for 2 spatial streams.
+
+    gd: [B, nRx=2, S, nSD] phase-corrected tone observations (data bins
+    only); h: [B, nSD, nRx, nSTS=2] channel at those bins.
+    Returns LLRs [B, nSTS, S, nCBPSS] in demap_llr's per-stream layout.
+
+    Replaces the linear ZF equalizer of the reference 2x2 chain
+    (lib/demod2_impl.cc:410-428,515-518) with true max-log ML: for each
+    stream j and candidate c_j, the interfering stream's symbol is sliced
+    exactly (single-interferer projection onto the QAM grid is the exact
+    conditional minimum), giving d2(c_j) = min over the full product
+    alphabet. LLR_p = min[d2 | bit_p=0] - min[d2 | bit_p=1]. On
+    ill-conditioned channels this wins the ~20·log10(cond) dB the ZF
+    noise-enhancement loses — packets the reference drops at dense
+    constellations decode cleanly.
+
+    Everything is batched elementwise/matmul arithmetic over a static
+    [B, S, nSD, Nc] candidate tensor — no data-dependent control flow, so
+    XLA fuses it; Nc <= 256 (two passes of Nc instead of Nc^2).
+    """
+    pts_np, masks_np = _ml_candidates(mod)
+    pts = jnp.asarray(pts_np)                              # [Nc]
+    y = jnp.moveaxis(gd, 1, -1)                            # [B, S, nSD, nRx]
+    llrs = []
+    for j in (0, 1):
+        o = 1 - j
+        hj = h[..., j]                                     # [B, nSD, nRx]
+        ho = h[..., o]
+        ho_n2 = jnp.sum(jnp.abs(ho) ** 2, axis=-1)         # [B, nSD]
+        ho_n2 = jnp.maximum(ho_n2, 1e-20)
+        # residual r = y - hj*cj for all candidates: [B, S, nSD, Nc, nRx]
+        r = (y[..., None, :]
+             - hj[:, None, :, None, :] * pts[None, None, None, :, None])
+        # exact conditional min over the other stream: project + slice
+        z = (jnp.sum(jnp.conj(ho)[:, None, :, None, :] * r, axis=-1)
+             / ho_n2[:, None, :, None])                    # [B, S, nSD, Nc]
+        co = _slice_to_grid(z, mod)
+        r2 = r - ho[:, None, :, None, :] * co[..., None]
+        d2 = jnp.sum(jnp.abs(r2) ** 2, axis=-1)            # [B, S, nSD, Nc]
+        big = jnp.asarray(np.float32(1e30))
+        lj = []
+        for p in range(masks_np.shape[0]):
+            m1 = jnp.asarray(masks_np[p])                  # bit p == 1
+            min0 = jnp.min(jnp.where(m1, big, d2), axis=-1)
+            min1 = jnp.min(jnp.where(m1, d2, big), axis=-1)
+            lj.append(min0 - min1)
+        # [B, S, nSD, nb] -> [B, S, nSD*nb] (I bits then Q bits per tone,
+        # bit p of the chip == position p: demap_llr layout)
+        llrs.append(jnp.stack(lj, axis=-1).reshape(
+            d2.shape[0], d2.shape[1], -1))
+    return jnp.stack(llrs, axis=1)                         # [B, 2, S, nCBPSS]
+
+
+# ---------------------------------------------------------------------------
 # full data-field demod (per static config)
 # ---------------------------------------------------------------------------
 

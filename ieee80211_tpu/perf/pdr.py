@@ -119,7 +119,7 @@ class MimoRxPipeline:
     def __init__(self, mod: Mod, n_sym: int, psdu_len: int):
         from ..rx.mimo import MimoDataDecoder
         self.mod, self.n_sym, self.psdu_len = mod, n_sym, psdu_len
-        self._dec = MimoDataDecoder(mod, n_sym, psdu_len)
+        self._dec = MimoDataDecoder(mod, n_sym)
         self.step = jax.jit(self._step)
 
     def window_len(self) -> int:
@@ -130,8 +130,8 @@ class MimoRxPipeline:
     def _step(self, x2, t0):
         from ..ops import sync
         ltf_start, cfo, snr = sync.sync_front_iq(x2[:, 0], t0)
-        return dict(bits=self._dec._decode(x2, ltf_start, cfo),
-                    ltf_start=ltf_start, cfo=cfo, snr=snr)
+        bits, _ = self._dec._decode(x2, ltf_start, cfo)
+        return dict(bits=bits, ltf_start=ltf_start, cfo=cfo, snr=snr)
 
 
 def _build_mimo_packet(fmt: F, mcs: int, payload_len: int, seed: int = 0):

@@ -119,8 +119,21 @@ def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176,
         tones = eq[..., jnp.asarray(data_idx)]           # [B, S, 48q]
         return tones.reshape(tones.shape[:-1] + (q, 48)).sum(axis=-2)
 
-    perm = jnp.asarray(ilv.sig_rx_perm())
     lsig_eq = sig_llr(ltf_start + OFF_LSIG * q, 1, 0)[:, 0]  # [B, 48]
+    # the two post-L-SIG symbols carry HT-SIG (QBPSK) or VHT-SIG-A (BPSK+QBPSK)
+    nl_eq = sig_llr(ltf_start + OFF_NLSIG * q, 2, 1)         # [B, 2, 48]
+    out = _sig_fields_from_eq(lsig_eq, nl_eq)
+    out.update(ltf_start=ltf_start, cfo=cfo, snr=snr)
+    return out
+
+
+def _sig_fields_from_eq(lsig_eq: jnp.ndarray, nl_eq: jnp.ndarray) -> dict:
+    """Decode L-SIG / HT-SIG / VHT-SIG-A bits from equalized SIG tones.
+
+    lsig_eq: [B, 48] equalized L-SIG data tones; nl_eq: [B, 2, 48] the two
+    post-L-SIG symbols. Shared tail of sig_parse / sig_parse_mimo.
+    """
+    perm = jnp.asarray(ilv.sig_rx_perm())
     lsig_llr = jnp.real(lsig_eq)[:, perm]
     lsig_bits = coding.viterbi_decode(lsig_llr, CR.CR12, 24)
     parity = jnp.sum(lsig_bits[:, :17], axis=-1) % 2
@@ -132,8 +145,6 @@ def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176,
                        axis=-1)
     l_len = _bits_to_uint(lsig_bits, 5, 12)
 
-    # the two post-L-SIG symbols carry HT-SIG (QBPSK) or VHT-SIG-A (BPSK+QBPSK)
-    nl_eq = sig_llr(ltf_start + OFF_NLSIG * q, 2, 1)         # [B, 2, 48]
     im = jnp.imag(nl_eq)
     re = jnp.real(nl_eq)
     # constellation-rotation discriminator for symbol 1: HT-SIG is QBPSK
@@ -149,10 +160,76 @@ def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176,
     ht_ok = _crc8_ok(ht_bits)
     vht_ok = _crc8_ok(vht_bits)
 
-    return dict(ltf_start=ltf_start, cfo=cfo, snr=snr, lsig_ok=lsig_ok,
-                l_mcs=l_mcs, l_len=l_len, lsig_bits=lsig_bits,
-                ht_ok=ht_ok, vht_ok=vht_ok, ht_bits=ht_bits,
-                vht_bits=vht_bits, nl1_imag_dom=imag_dom)
+    return dict(lsig_ok=lsig_ok, l_mcs=l_mcs, l_len=l_len,
+                lsig_bits=lsig_bits, ht_ok=ht_ok, vht_ok=vht_ok,
+                ht_bits=ht_bits, vht_bits=vht_bits, nl1_imag_dom=imag_dom)
+
+
+@partial(jax.jit, static_argnames=("n_lag", "q"))
+def sig_parse_mimo(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176,
+                   q: int = 1):
+    """Multi-chain SIG parse with maximal-ratio combining across RX chains.
+
+    x2: [B, nRx, N, 2] float32 I/Q windows; t0: [B] int32.
+
+    The reference decodes L-SIG from RX chain 0 only
+    (lib/signal2_impl.cc:113-127) and drops recoverable packets whenever
+    that chain's CSD-mixed legacy channel has deep nulls. Here every chain
+    gets its own legacy channel estimate and the SIG tones are MRC-combined
+    (eq = sum_r conj(H_r) Y_r / sum_r |H_r|^2) before demapping — a 2-chain
+    diversity gain the reference never had. Timing and CFO come from the
+    chain with the strongest LTF correlation (RX chains share one LO, so
+    the CFO is common).
+
+    Returns the same metadata dict as sig_parse.
+    """
+    from ..utils.riq import r2c
+    bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[q]
+    b, nrx = x2.shape[0], x2.shape[1]
+    xf = x2.reshape((b * nrx,) + x2.shape[2:])
+    ls_c, cfo_c, snr_c = sync.sync_front_iq(xf, jnp.repeat(t0, nrx),
+                                            n_lag=n_lag, q=q)
+    ls_c = ls_c.reshape(b, nrx)
+    cfo_c = cfo_c.reshape(b, nrx)
+    snr_c = snr_c.reshape(b, nrx)
+    best = jnp.argmax(snr_c, axis=1)
+    ltf_start = jnp.take_along_axis(ls_c, best[:, None], axis=1)[:, 0]
+    cfo = jnp.take_along_axis(cfo_c, best[:, None], axis=1)[:, 0]
+    snr = jnp.max(snr_c, axis=1)
+
+    nfft, gi, sh = 64 * q, 16 * q, 8 * q
+    y = sync.apply_cfo_correction(r2c(xf), jnp.repeat(cfo, nrx))
+    ls2 = jnp.repeat(ltf_start, nrx)
+    ltf_t = demod.extract_symbol_windows(y, ls2 - gi, 2, nfft=nfft,
+                                         gi=gi, shift=sh, stride=nfft)
+    chan = demod.legacy_chan_est(demod.fft_syms(ltf_t), bw)
+    chan = chan.reshape(b, nrx, nfft)                    # [B, nRx, nfft]
+    wt = jnp.conj(chan)
+    den = jnp.sum(jnp.abs(chan) ** 2, axis=1) + 1e-9     # [B, nfft]
+
+    d20 = np.asarray(tables.DATA_GRID[(BW.BW20, True)])
+    p20 = np.asarray(tables.PILOT_GRID[(BW.BW20, True)])
+    data_idx = np.concatenate([d20 + 64 * c for c in range(q)])
+    pilot_idx = np.concatenate([p20 + 64 * c for c in range(q)])
+    pil_l = np.tile(tables.PILOT_L, q)
+
+    def sig_llr(off, n_sym, pidx0):
+        g = demod.fft_syms(demod.extract_symbol_windows(
+            y, ls2 + off, n_sym, nfft=nfft, gi=gi, shift=sh))
+        g = g.reshape(b, nrx, n_sym, nfft)
+        eq = jnp.einsum("brsk,brk->bsk", g, wt) / den[:, None, :]
+        pref = jnp.asarray(
+            pil_l[None] * tables.PILOT_POLARITY[pidx0:pidx0 + n_sym, None])
+        ph = demod.pilot_phase(eq, pref, pilot_idx)
+        eq = eq / ph[..., None]
+        tones = eq[..., jnp.asarray(data_idx)]           # [B, S, 48q]
+        return tones.reshape(tones.shape[:-1] + (q, 48)).sum(axis=-2)
+
+    lsig_eq = sig_llr(OFF_LSIG * q, 1, 0)[:, 0]
+    nl_eq = sig_llr(OFF_NLSIG * q, 2, 1)
+    out = _sig_fields_from_eq(lsig_eq, nl_eq)
+    out.update(ltf_start=ltf_start, cfo=cfo, snr=snr)
+    return out
 
 
 def _pick_nl_format(meta, i) -> F:
@@ -188,6 +265,117 @@ def parse_vht_siga(bits: np.ndarray):
     sgi = bool(bits[24])
     mcs = int(np.sum(bits[28:32] << np.arange(4)))
     return bw, group_id, su_nsts, partial_aid, sgi, mcs
+
+
+# ---------------------------------------------------------------------------
+# on-device capture windowing (batched receiver: the capture is uploaded
+# ONCE — possibly int8-quantized — and every window is gathered in-graph,
+# so the host<->device traffic is one upload + one small meta fetch + one
+# packed-bytes fetch per (Mod, bucket) group)
+# ---------------------------------------------------------------------------
+
+
+def next_pow2(n: int, lo: int = 1) -> int:
+    n = max(int(n), lo)
+    return 1 << (n - 1).bit_length()
+
+
+def capture_windows(cap: jnp.ndarray, start: jnp.ndarray, length: int
+                    ) -> jnp.ndarray:
+    """Gather per-packet windows from a device-resident capture.
+
+    cap: [N, 2] (any real dtype); start: [G] sample indices. Returns
+    [G, length, 2] in cap's dtype. Slices the FLAT view (see
+    sync.batch_slice_iq for why that is >10x faster on TPU).
+    """
+    flat = cap.reshape(-1)
+    seg = jax.vmap(lambda s: jax.lax.dynamic_slice(
+        flat, (2 * s,), (2 * length,)))(start.astype(jnp.int32))
+    return seg.reshape(-1, length, 2)
+
+
+def capture_windows_mimo(cap: jnp.ndarray, start: jnp.ndarray, length: int
+                         ) -> jnp.ndarray:
+    """capture_windows for an [nRx, N, 2] dual-chain capture.
+
+    Returns [G, nRx, length, 2]."""
+    nrx = cap.shape[0]
+    flat = cap.reshape(nrx, -1)
+
+    def take(s):
+        return jax.vmap(lambda row: jax.lax.dynamic_slice(
+            row, (2 * s,), (2 * length,)))(flat)
+    seg = jax.vmap(take)(start.astype(jnp.int32))
+    return seg.reshape(-1, nrx, length, 2)
+
+
+def pack_bits_le(bits: jnp.ndarray) -> jnp.ndarray:
+    """[B, n] 0/1 -> [B, ceil(n/8)] uint8, LSB-first (np.packbits
+    bitorder='little' parity). Packing on-device shrinks the decoded-bits
+    fetch 8x (the relay moves device->host data slowly)."""
+    b, n = bits.shape
+    n8 = -(-n // 8) * 8
+    if n8 != n:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((b, n8 - n), bits.dtype)], axis=1)
+    w = (1 << jnp.arange(8, dtype=jnp.int32))
+    return jnp.sum(bits.reshape(b, -1, 8).astype(jnp.int32) * w,
+                   axis=-1).astype(jnp.uint8)
+
+
+# meta packing: every sig_parse field in ONE int32 array so the host needs
+# a single fetch (each device->host RPC costs a full relay round trip)
+_META_INT_FIELDS = ("ltf_start", "lsig_ok", "l_mcs", "l_len", "ht_ok",
+                    "vht_ok", "nl1_imag_dom")
+_META_F32_FIELDS = ("cfo", "snr")
+
+
+def _pack_meta(meta: dict) -> jnp.ndarray:
+    ints = [meta[k].astype(jnp.int32)[:, None] for k in _META_INT_FIELDS]
+    bits = [meta[k].astype(jnp.int32)
+            for k in ("lsig_bits", "ht_bits", "vht_bits")]
+    f32 = jnp.stack([meta[k].astype(jnp.float32)
+                     for k in _META_F32_FIELDS], axis=1)
+    fbits = jax.lax.bitcast_convert_type(f32, jnp.int32)
+    return jnp.concatenate(ints + bits + [fbits], axis=1)
+
+
+def _unpack_meta(packed: np.ndarray) -> dict:
+    packed = np.asarray(packed)
+    out = {}
+    o = 0
+    for k in _META_INT_FIELDS:
+        out[k] = packed[:, o]
+        o += 1
+    for k, n in (("lsig_bits", 24), ("ht_bits", 48), ("vht_bits", 48)):
+        out[k] = packed[:, o:o + n]
+        o += n
+    f32 = packed[:, o:o + len(_META_F32_FIELDS)].copy().view(np.float32)
+    for i, k in enumerate(_META_F32_FIELDS):
+        out[k] = f32[:, i]
+    return out
+
+
+@partial(jax.jit, static_argnames=("wlen", "n_lag", "q"))
+def sig_parse_capture(cap: jnp.ndarray, scale: jnp.ndarray,
+                      t_clamp: jnp.ndarray, t0: jnp.ndarray, wlen: int,
+                      n_lag: int = 176, q: int = 1) -> jnp.ndarray:
+    """sig_parse over in-graph windows of a device-resident capture.
+
+    cap: [Npad, 2] int8/float32; t_clamp: [B] window starts (host-clamped
+    to Npad-wlen); t0: [B] STF-start offsets within each window. Returns
+    the packed [B, K] int32 meta array (_unpack_meta reverses)."""
+    x2 = capture_windows(cap, t_clamp, wlen).astype(jnp.float32) * scale
+    return _pack_meta(sig_parse(x2, t0, n_lag=n_lag, q=q))
+
+
+@partial(jax.jit, static_argnames=("wlen", "n_lag", "q"))
+def sig_parse_mimo_capture(cap: jnp.ndarray, scale: jnp.ndarray,
+                           t_clamp: jnp.ndarray, t0: jnp.ndarray, wlen: int,
+                           n_lag: int = 176, q: int = 1) -> jnp.ndarray:
+    """sig_parse_mimo over in-graph windows of an [nRx, Npad, 2] capture."""
+    x2 = capture_windows_mimo(cap, t_clamp, wlen).astype(jnp.float32) * scale
+    return _pack_meta(sig_parse_mimo(x2, t0, n_lag=n_lag, q=q))
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +462,29 @@ class SisoDataDecoder:
         bits, evm = self._fn(x2, ltf_start, cfo, n_valid)
         return np.asarray(bits), np.asarray(evm)
 
+    def window_capacity(self) -> int:
+        """Static window length covering any in-bucket packet: max
+        ltf_start (sync search span) + DATA offset + bucket extent."""
+        return (272 * self.q + self.data_offset()
+                + (self.n_sym * 80 + 80) * self.q)
+
+    def _decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
+                             n_valid):
+        """Batched decode with windows gathered from the device-resident
+        capture; returns (packed descrambled bytes [G, n_bits/8], evm [G])
+        so the device->host fetch is bytes, not bit-planes."""
+        w = self.window_capacity()
+        x2 = capture_windows(cap, t_abs, w).astype(jnp.float32) * scale
+        bits, evm = self._decode(x2, ltf_start, cfo, n_valid)
+        return pack_bits_le(bits), evm
+
+    def decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
+                            n_valid):
+        """Async dispatch (device arrays back); np.asarray() to fetch."""
+        if not hasattr(self, "_fn_cap"):
+            self._fn_cap = jax.jit(self._decode_from_capture)
+        return self._fn_cap(cap, scale, t_abs, ltf_start, cfo, n_valid)
+
 
 N_SYM_BUCKET = 16   # decoder symbol-capacity granularity: a mixed-length
                     # capture compiles one program per (Mod, bucket), not
@@ -295,6 +506,14 @@ def assemble_packet(fmt: F, mod: Mod, psdu_len: int, scr_bits: np.ndarray,
     """Service-strip + byte-pack + FCS / A-MPDU deaggregation (host side)."""
     psdu_bits = scr_bits[16:16 + psdu_len * 8].astype(np.uint8)
     psdu = np.packbits(psdu_bits, bitorder="little").tobytes()
+    return assemble_psdu(fmt, mod, psdu, ampdu, cfo_hz, snr_db, evm_snr_db)
+
+
+def assemble_psdu(fmt: F, mod: Mod, psdu: bytes, ampdu: bool,
+                  cfo_hz: float = 0.0, snr_db: float = 0.0,
+                  evm_snr_db: float = 0.0) -> PacketResult:
+    """FCS / A-MPDU deaggregation from already-packed PSDU bytes
+    (parity: lib/decode_impl.cc:325-427 packetAssemble)."""
     if fmt == F.VHT:
         mpdus = [s.mpdu for s in deaggregate_vht(psdu) if s.fcs_ok]
         ok = len(mpdus) > 0
@@ -314,81 +533,191 @@ def assemble_packet(fmt: F, mod: Mod, psdu_len: int, scr_bits: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-class SisoReceiver:
-    """Decode packets from capture windows with automatic format detection.
+@dataclasses.dataclass
+class _Plan:
+    """One detected packet's decode parameters (host-side planning)."""
+    mod: Mod
+    n_sym: int
+    psdu_len: int
+    ampdu: bool
+    win_start: int       # absolute capture index of its SIG window start
+    ltf_start: int       # LTF data start relative to win_start
+    cfo: float
+    cfo_hz: float
+    snr: float
+    ndp: bool = False
 
-    Workflow parity with examples/rx.grc: trigger (host) -> sig_parse (jit,
-    one compilation) -> per-config SisoDataDecoder (jit cache).
+
+class SisoReceiver:
+    """Decode packets from a capture with automatic format detection.
+
+    Workflow parity with examples/rx.grc (trigger -> sync -> signal ->
+    demod -> decode), restructured for TPU throughput: the capture is
+    uploaded ONCE (optionally int8-quantized, `ingest="int8"` — radio
+    front-ends deliver 8-12 bit I/Q anyway, and the relay's host->device
+    link is the bottleneck), all SIG parsing runs as one batched jit
+    dispatch with a single packed-meta fetch, and the DATA pass groups
+    packets by (Mod, nSym-bucket) with ONE dispatch per group and packed
+    bytes fetched back. Per-capture device round trips: 1 upload + 1 meta
+    fetch + 1 small fetch per group — instead of 2 per packet.
     """
 
-    def __init__(self, sample_rate_hz: float = 20e6, stats=None):
+    def __init__(self, sample_rate_hz: float = 20e6, stats=None,
+                 ingest: str = "f32"):
         self.fs = sample_rate_hz
         self.q = int(round(sample_rate_hz / 20e6))
         if self.q not in (1, 2, 4):
             raise ValueError("sample rate must be 20/40/80 MHz")
+        if ingest not in ("f32", "int8"):
+            raise ValueError("ingest must be 'f32' or 'int8'")
         self.bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[self.q]
+        self.ingest = ingest
         from ..utils.metrics import DecodeStats
         self.stats = stats if stats is not None else DecodeStats()
 
+    # -- upload ------------------------------------------------------------
+    def _upload(self, capture: np.ndarray):
+        """Quantize + zero-pad the capture to a pow2 length and ship it to
+        the device once. Returns (cap_dev, dequant_scale, npad)."""
+        n = len(capture)
+        npad = next_pow2(n + 4096, lo=1 << 15)
+        if self.ingest == "int8":
+            peak = float(max(np.abs(capture.real).max(initial=0.0),
+                             np.abs(capture.imag).max(initial=0.0), 1e-12))
+            s = 126.0 / peak
+            buf = np.zeros((npad, 2), np.int8)
+            buf[:n, 0] = np.clip(np.round(capture.real * s), -127, 127)
+            buf[:n, 1] = np.clip(np.round(capture.imag * s), -127, 127)
+            return jnp.asarray(buf), jnp.float32(1.0 / s), npad
+        buf = np.zeros((npad, 2), np.float32)
+        buf[:n, 0] = capture.real
+        buf[:n, 1] = capture.imag
+        return jnp.asarray(buf), jnp.float32(1.0), npad
+
+    # -- main entry --------------------------------------------------------
     def decode_capture(self, capture: np.ndarray,
                        max_window: Optional[int] = None) -> List[PacketResult]:
-        capture = np.asarray(capture, dtype=np.complex64)
-        t0s = sync.find_triggers_np(capture, q=self.q)
-        results: List[PacketResult] = []
-        if len(t0s) == 0:
-            return results
         del max_window  # packet windows are sized from the decoded length
-        # pass 1: fixed small preamble windows -> batched SIG parse. The
-        # non-legacy STF mid-packet also correlates at lag 16q and can
-        # re-fire the trigger (the reference re-arms the same way,
-        # lib/trigger_impl.cc:92-109); those spurious windows fail L-SIG
-        # and are dropped below.
-        wlen = min((SIGPARSE_WIN + 320) * self.q, len(capture))
-        xs = np.zeros((len(t0s), wlen, 2), dtype=np.float32)
-        for i, t in enumerate(t0s):
-            seg = capture[t:t + wlen]
-            xs[i, :len(seg), 0] = np.real(seg)
-            xs[i, :len(seg), 1] = np.imag(seg)
-        t0 = np.zeros(len(t0s), dtype=np.int32)
-        meta = {k: np.asarray(v) for k, v in
-                sig_parse(jnp.asarray(xs), jnp.asarray(t0),
-                          q=self.q).items()}
+        return self.decode_capture_full(capture)[0]
+
+    def decode_capture_full(self, capture: np.ndarray):
+        """Decode data packets AND surface NDP channel reports.
+
+        Returns (packets, ndp_captures): the reference's decode block emits
+        a type-20 channel blob from the same RX chain that emits data
+        (lib/decode_impl.cc:100-121); here an NDP detected during planning
+        (VHT, nSym == 0) yields an mu.sounding.NdpCapture with the
+        CFO-corrected VHT-LTF windows, ready for SVD feedback.
+        """
+        capture = np.asarray(capture, dtype=np.complex64)
+        t0s = np.asarray(sync.find_triggers_np(capture, q=self.q),
+                         dtype=np.int64)
+        results: List[PacketResult] = []
+        ndps = []
+        if len(t0s) == 0:
+            return results, ndps
+        cap_dev, scale, npad = self._upload(capture)
+        meta = self._parse_sigs(cap_dev, scale, npad, t0s)
         self.stats.n_trigger += len(t0s)
-        self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"]))
-        # pass 2: per-packet DATA windows cut to the exact decoded extent
+        self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"][:len(t0s)]))
+        plans = []
         for i in range(len(t0s)):
-            r = self._decode_one(capture, int(t0s[i]), meta, i)
-            if r is not None:
-                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
-                results.append(r)
-        return results
+            p = self._plan_one(len(capture), meta, i)
+            if p is None:
+                continue
+            if p.ndp:
+                ndps.append(self._extract_ndp(capture, p))
+            else:
+                plans.append((i, p))
+        for i, r in self._run_plans(cap_dev, scale, npad, plans):
+            self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
+            results.append(r)
+        return results, [n for n in ndps if n is not None]
 
-    def _data_window(self, capture: np.ndarray, t_abs: int,
-                     need: int) -> np.ndarray:
-        w = np.zeros((1, need, 2), dtype=np.float32)
-        seg = capture[t_abs:t_abs + need]
-        w[0, :len(seg), 0] = np.real(seg)
-        w[0, :len(seg), 1] = np.imag(seg)
-        return w
+    def _extract_ndp(self, capture: np.ndarray, p: _Plan):
+        """CFO-corrected VHT-LTF windows of a detected NDP (host side —
+        the LTFs are a few hundred samples; parity with the mu2x1chan tag
+        path, lib/demod_impl.cc:238-271,396-399)."""
+        from ..mu.sounding import NdpCapture
+        n_ltf = p.mod.nLTF
+        start = p.win_start + p.ltf_start
+        wins = []
+        for l in range(n_ltf):
+            s = start + (OFF_NLLTF + 80 * l + 16 - 8) * self.q
+            seg = capture[s:s + 64 * self.q]
+            if len(seg) != 64 * self.q:
+                return None
+            ramp = np.exp(1j * p.cfo * (np.arange(len(seg)) + s))
+            wins.append((seg * ramp).astype(np.complex64))
+        return NdpCapture(ltf_iq=np.concatenate(wins), cfo_rad=p.cfo,
+                          snr_db=p.snr)
 
-    def _run_data(self, capture, t_abs, meta, i, mod, n_sym, psdu_len,
-                  ampdu, cfo_hz, snr, ltf_start) -> PacketResult:
-        """Cut a bucket-sized window and decode n_sym true symbols through
-        the (Mod, bucket)-keyed jit program."""
-        nb = _bucket(n_sym)
-        need = ltf_start + (OFF_NLLTF + 80 * mod.nLTF + 160
-                            + nb * 80) * self.q
-        dec = get_data_decoder(mod, nb)
-        bits, evm = dec.decode(
-            jnp.asarray(self._data_window(capture, t_abs, need)),
-            jnp.asarray([ltf_start], dtype=np.int32),
-            jnp.asarray([meta["cfo"][i]], dtype=np.float32),
-            jnp.asarray([n_sym], dtype=np.int32))
-        return assemble_packet(mod.fmt, mod, psdu_len, bits[0], ampdu,
-                               cfo_hz, snr, float(evm[0]))
+    def _parse_sigs(self, cap_dev, scale, npad, t0s) -> dict:
+        """Batched SIG parse of all trigger windows; one packed fetch.
 
-    def _decode_one(self, capture: np.ndarray, t_abs: int, meta,
-                    i) -> Optional[PacketResult]:
+        The non-legacy STF mid-packet also correlates at lag 16q and can
+        re-fire the trigger (the reference re-arms the same way,
+        lib/trigger_impl.cc:92-109); those spurious windows fail the SIG
+        gates in _plan_one.
+        """
+        wlen = (SIGPARSE_WIN + 320) * self.q
+        bpad = -(-len(t0s) // 32) * 32
+        t_clamp = np.zeros(bpad, np.int32)
+        delta = np.zeros(bpad, np.int32)
+        tc = np.minimum(t0s, npad - wlen)
+        t_clamp[:len(t0s)] = tc
+        delta[:len(t0s)] = t0s - tc
+        packed = sig_parse_capture(cap_dev, scale, jnp.asarray(t_clamp),
+                                   jnp.asarray(delta), wlen=wlen, q=self.q)
+        meta = _unpack_meta(np.asarray(packed))
+        meta["win_start"] = t_clamp
+        return meta
+
+    def _run_plans(self, cap_dev, scale, npad, plans):
+        """Group plans by (Mod, bucket), dispatch one jit program per
+        group (async), then fetch + assemble. Yields (trigger_idx,
+        PacketResult) in trigger order."""
+        groups: dict = {}
+        for i, p in plans:
+            groups.setdefault((p.mod, _bucket(p.n_sym)), []).append((i, p))
+        futs = []
+        for (mod, nb), items in groups.items():
+            dec = get_data_decoder(mod, nb)
+            w = dec.window_capacity()
+            g = len(items)
+            gp = next_pow2(g)
+            t_abs = np.zeros(gp, np.int32)
+            ltf = np.zeros(gp, np.int32)
+            cfo = np.zeros(gp, np.float32)
+            nv = np.ones(gp, np.int32)
+            for j, (i, p) in enumerate(items):
+                tc = min(p.win_start, npad - w)
+                t_abs[j] = tc
+                ltf[j] = p.ltf_start + (p.win_start - tc)
+                cfo[j] = p.cfo
+                nv[j] = p.n_sym
+            if gp > g:       # pad rows replicate row 0 (results ignored)
+                t_abs[g:] = t_abs[0]
+                ltf[g:] = ltf[0]
+                cfo[g:] = cfo[0]
+                nv[g:] = nv[0]
+            out = dec.decode_from_capture(
+                cap_dev, scale, jnp.asarray(t_abs), jnp.asarray(ltf),
+                jnp.asarray(cfo), jnp.asarray(nv))
+            futs.append((items, out))
+        collected = []
+        for items, (packed_b, evm) in futs:
+            pb = np.asarray(packed_b)
+            ev = np.asarray(evm)
+            for j, (i, p) in enumerate(items):
+                psdu = pb[j, 2:2 + p.psdu_len].tobytes()
+                collected.append((i, assemble_psdu(
+                    p.mod.fmt, p.mod, psdu, p.ampdu, p.cfo_hz, p.snr,
+                    float(ev[j]))))
+        collected.sort(key=lambda t: t[0])
+        return collected
+
+    def _plan_one(self, cap_len: int, meta, i) -> Optional[_Plan]:
         if not bool(meta["lsig_ok"][i]):
             return None
         # sync gate: the reference only syncs when the LTF autocorrelation
@@ -398,21 +727,23 @@ class SisoReceiver:
         # a junk-length DATA program).
         if float(meta["snr"][i]) <= 0.0:
             return None
+        win_start = int(meta["win_start"][i])
+        ltf_start = int(meta["ltf_start"][i])
+        cfo = float(meta["cfo"][i])
+        cfo_hz = cfo * self.fs / (2 * np.pi) * -1.0
+        snr = float(meta["snr"][i])
+        l_mcs = int(meta["l_mcs"][i])
+        l_len = int(meta["l_len"][i])
+
         # length-consistency guards (parity: lib/demod_impl.cc:159,186 and
         # the PSDU/trellis caps in lib/decode_impl.h:35-36)
-        def extent(mod, n_sym, ltf_start):
+        def extent(mod, n_sym):
             return ltf_start + (OFF_NLLTF + 80 * mod.nLTF + 160
                                 + n_sym * 80) * self.q
 
-        def fits(mod, n_sym, ltf_start):
+        def fits(mod, n_sym):
             return (0 < n_sym and n_sym * mod.nDBPS <= 33000
-                    and t_abs + extent(mod, n_sym, ltf_start)
-                    <= len(capture))
-        cfo_hz = float(meta["cfo"][i]) * self.fs / (2 * np.pi) * -1.0
-        snr = float(meta["snr"][i])
-        ltf_start = int(meta["ltf_start"][i])
-        l_mcs = int(meta["l_mcs"][i])
-        l_len = int(meta["l_len"][i])
+                    and win_start + extent(mod, n_sym) <= cap_len)
         fmt = F.L
         if l_mcs == 0:
             fmt = _pick_nl_format(meta, i)
@@ -423,10 +754,10 @@ class SisoReceiver:
                 return None
             mod = Mod(F.L, l_mcs)
             pp = ppdu_params_nonaggregate(mod, l_len)
-            if not fits(mod, pp.n_sym, ltf_start):
+            if not fits(mod, pp.n_sym):
                 return None
-            return self._run_data(capture, t_abs, meta, i, mod, pp.n_sym,
-                                  l_len, False, cfo_hz, snr, ltf_start)
+            return _Plan(mod, pp.n_sym, l_len, False, win_start, ltf_start,
+                         cfo, cfo_hz, snr)
         if fmt == F.HT:
             mcs, bw, length, aggre, sgi = parse_ht_sig(meta["ht_bits"][i])
             if bw != self.bw or mcs > 15 or sgi:
@@ -439,22 +770,30 @@ class SisoReceiver:
                 return None
             mod = Mod(F.HT, mcs, bw, nsts, sgi)
             pp = ppdu_params_nonaggregate(mod, length)
-            if not fits(mod, pp.n_sym, ltf_start):
+            if not fits(mod, pp.n_sym):
                 return None
-            return self._run_data(capture, t_abs, meta, i, mod, pp.n_sym,
-                                  length, aggre, cfo_hz, snr, ltf_start)
+            return _Plan(mod, pp.n_sym, length, aggre, win_start, ltf_start,
+                         cfo, cfo_hz, snr)
         # VHT
         bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
-        if bw != self.bw or sgi or nsts != 1:
+        if bw != self.bw or sgi or not (1 <= nsts <= 4):
             return None
-        mod = Mod(F.VHT, mcs, bw, nsts, sgi)
-        # total symbol budget from the legacy length
+        # NDP check BEFORE the nSTS gate: a sounding NDP announces the
+        # number of sounded streams (usually 2), and its nSym budget from
+        # the spoofed L-SIG length is <= 0 (lib/decode_impl.cc:100-121)
+        n_ltf = int(tables.N_LTF[nsts])
         n_sym_l = int(np.ceil((l_len * 8 + 16 + 6) / 24))
-        n_sym = n_sym_l - 2 - 1 - mod.nLTF - 1
+        n_sym = n_sym_l - 2 - 1 - n_ltf - 1
         if n_sym <= 0:
-            return None        # NDP: channel report path (mu/feedback.py)
+            # channel-report path (mu/feedback.py); surfaced by
+            # decode_capture_full
+            return _Plan(Mod(F.VHT, 0, bw, nsts), 0, 0, False, win_start,
+                         ltf_start, cfo, cfo_hz, snr, ndp=True)
+        if nsts != 1:
+            return None    # SISO receiver; 2x2 data handled by MimoReceiver
+        mod = Mod(F.VHT, mcs, bw, nsts, sgi)
         psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
-        if not fits(mod, n_sym, ltf_start) or psdu_len > 4095:
+        if not fits(mod, n_sym) or psdu_len > 4095:
             return None
-        return self._run_data(capture, t_abs, meta, i, mod, n_sym,
-                              psdu_len, True, cfo_hz, snr, ltf_start)
+        return _Plan(mod, n_sym, psdu_len, True, win_start, ltf_start,
+                     cfo, cfo_hz, snr)

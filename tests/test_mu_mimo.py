@@ -134,3 +134,26 @@ def test_bf_report_roundtrip():
         phase = vk[-1] / abs(vk[-1])
         np.testing.assert_allclose(np.abs(np.vdot(vk / phase, rk)), 1.0,
                                    atol=0.03)
+
+
+def test_ndp_report_via_unified_receiver():
+    """The unified SisoReceiver surfaces NDP channel captures directly
+    (decode_capture_full), like the reference RX chain emitting the
+    type-20 blob (lib/decode_impl.cc:100-121) — no separate NDP entry
+    point needed. The LTF windows must match sta_capture_ndp's."""
+    from ieee80211_tpu.rx import SisoReceiver
+
+    ndp = gen_ampdu(b"", Mod(F.VHT, 0, BW.BW20, 2))
+    rng = np.random.default_rng(11)
+    h = rng.standard_normal(2) + 1j * rng.standard_normal(2)
+    cap = finalize(ndp.waveform, multiplier=0.3, cfo_hz=4000.0, gap=True,
+                   gap_len=600)
+    rx1 = (h @ cap).astype(np.complex64)
+    pkts, ndps = SisoReceiver().decode_capture_full(rx1)
+    assert pkts == [] and len(ndps) == 1
+    legacy = sta_capture_ndp(rx1, n_sts=2)
+    assert legacy is not None
+    assert np.allclose(ndps[0].ltf_iq, legacy.ltf_iq, atol=1e-5)
+    # and the channel estimate from it is usable
+    ltf_sym = ndp_ltf_channel(ndps[0].ltf_iq, n_sts=2)
+    assert ltf_sym.shape[0] == 2 and ltf_sym.shape[-1] >= 52
