@@ -49,6 +49,10 @@ def main(outdir="tmp"):
         save_complex_bin(os.path.join(
             outdir, f"sig80211GenMultipleMimo_2x2_{i}.bin"), mimo[i])
 
+    # NOTE: this beacon is synthesized from scratch (our build_beacon), not
+    # a replay of the reference's captured beacon blob — seq/timestamp and
+    # the element set intentionally differ from pktGenExample.py's
+    # hard-coded hex string, and the frame carries a freshly computed FCS.
     from ieee80211_tpu.mac import build_beacon
     beacon = build_beacon("cloud_ac86u_5G", "24:4b:fe:61:25:ac",
                           "24:4b:fe:61:25:ac", seq=671, timestamp=23784950,

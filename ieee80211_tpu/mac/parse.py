@@ -213,7 +213,12 @@ class ParsedFrame:
         return None
 
     def describe(self) -> List[str]:
-        lines = [self.fc.describe(), f"Duration {self.duration} us"]
+        # PS-Poll reuses the duration field as the association ID
+        # (IEEE 802.11-2020 9.3.1.4)
+        if self.fc.ftype == 1 and self.fc.subtype == 10:
+            lines = [self.fc.describe(), f"AID {self.duration & 0x3FFF}"]
+        else:
+            lines = [self.fc.describe(), f"Duration {self.duration} us"]
         if self.addr1 is not None:
             who = f"{self.fc.type_name} to {self.addr1}"
             if self.addr2 is not None:
@@ -236,7 +241,8 @@ class ParsedFrame:
 
 # control subtypes that carry only RA (len 10+4) vs RA+TA (len 16+4)
 _CTRL_RA_ONLY = {12, 13}            # CTS, ACK
-_CTRL_RA_TA = {4, 5, 8, 9, 10, 11, 14}  # BF-poll, NDPA, BAR, BA, PS-Poll, RTS, CF-End
+# BF-poll, NDPA, BAR, BA, PS-Poll, RTS, CF-End, CF-End +CF-Ack
+_CTRL_RA_TA = {4, 5, 8, 9, 10, 11, 14, 15}
 
 
 def parse_frame(pkt: bytes, has_fcs: bool = True) -> ParsedFrame:
@@ -262,14 +268,19 @@ def parse_frame(pkt: bytes, has_fcs: bool = True) -> ParsedFrame:
             i += 6
         out.body = pkt[i:]
         return out
-    # management / data: 3 addresses + sequence control
-    if len(pkt) >= i + 20:
-        out.addr1 = _fmt_mac(pkt[i:i + 6])
-        out.addr2 = _fmt_mac(pkt[i + 6:i + 12])
-        out.addr3 = _fmt_mac(pkt[i + 12:i + 18])
-        sc, = struct.unpack("<H", pkt[i + 18:i + 20])
-        out.seq, out.frag = sc >> 4, sc & 0xF
-        i += 20
+    # management / data: 3 addresses + sequence control. A frame too short
+    # for the full header is malformed — return the remainder as body
+    # rather than falling through and misreading address bytes as
+    # QoS/fixed fields.
+    if len(pkt) < i + 20:
+        out.body = pkt[i:]
+        return out
+    out.addr1 = _fmt_mac(pkt[i:i + 6])
+    out.addr2 = _fmt_mac(pkt[i + 6:i + 12])
+    out.addr3 = _fmt_mac(pkt[i + 12:i + 18])
+    sc, = struct.unpack("<H", pkt[i + 18:i + 20])
+    out.seq, out.frag = sc >> 4, sc & 0xF
+    i += 20
     if fc.ftype == 0:   # management
         if fc.subtype in (8, 5):   # beacon / probe response: fixed fields
             if len(pkt) >= i + 12:

@@ -85,11 +85,19 @@ def make_global_phy_mesh(sp: int = 1, devices=None):
             f"exchange stays on ICI (never DCN)")
     n = len(devs)
     assert n % sp == 0
-    # order devices process-major so reshape puts sp within a process
+    # order devices process-major so reshape puts sp within a process;
+    # build the Mesh DIRECTLY from the ordered grid — jax.make_mesh would
+    # remap devices by physical topology (ignoring caller order), which
+    # breaks the sp-on-ICI guarantee on multi-host targets.
     devs = sorted(devs, key=lambda d: (d.process_index, d.id))
     grid = np.asarray(devs).reshape(n // sp, sp)
-    return jax.make_mesh((n // sp, sp), ("dp", "sp"),
-                         devices=grid.reshape(-1))
+    mesh = jax.sharding.Mesh(grid, ("dp", "sp"))
+    # enforce the documented invariant: every sp row lives in ONE process
+    for row in grid:
+        procs = {d.process_index for d in row}
+        assert len(procs) == 1, (
+            f"sp row spans processes {procs}; halo would cross DCN")
+    return mesh
 
 
 def process_summary() -> dict:

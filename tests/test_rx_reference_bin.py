@@ -30,3 +30,28 @@ def test_decode_reference_siso_bin():
     assert r.fmt == F.L and r.mcs == 0
     assert r.fcs_ok
     assert r.mpdus[0] == KNOWN_MPDU
+
+
+BIN_MIMO = "/root/reference/tools/sig80211GenMultipleMimo_2x2_{}.bin"
+
+
+@pytest.mark.skipif(not os.path.exists(BIN_MIMO.format(0)),
+                    reason="reference bins missing")
+def test_decode_reference_mimo_bins():
+    """Cross-implementation 2x2 replay: the reference generates these bins
+    with PY-TB (tools/pktGenExample.py:217-231: HT MCS8 nSTS=2, the same
+    30-byte UDP payload as the SISO bin) and replays them through its C++
+    2x2 RX (examples/rx2.grc). Our MimoReceiver must recover the exact
+    MPDU — independent evidence for the MIMO path, not just our-TX->our-RX
+    loopback."""
+    import numpy as np
+
+    from ieee80211_tpu.rx.mimo import MimoReceiver
+
+    cap = np.stack([load_complex_bin(BIN_MIMO.format(c)) for c in range(2)])
+    res = MimoReceiver().decode_capture(cap)
+    assert len(res) == 1
+    r = res[0]
+    assert r.fmt == F.HT and r.mcs == 8
+    assert r.fcs_ok
+    assert r.mpdus[0] == KNOWN_MPDU
