@@ -21,7 +21,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.pipeline import make_rx_step
 from ..ops import sync
-from ..specs import Mod
+from ..specs import F, Mod
 
 HALO = 31  # lag (16) + window (16) - 1 of the STF auto-correlator
 
@@ -194,6 +194,237 @@ def sharded_capture_decode(mesh, mod: Mod, n_sym: int, window_len: int,
     def run(capture):
         bits, trig_t, ok, cfo = local(capture)
         return dict(bits=bits, trig_t=trig_t, ok=ok, cfo=cfo)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# auto-detecting sharded loop: per-packet format/MCS/length detection
+# IN-GRAPH (the reference RX detects each packet's format on the fly,
+# lib/demod_impl.cc:106-219; here the whole mixed-format capture decodes in
+# one XLA program over the mesh)
+# ---------------------------------------------------------------------------
+
+# nDBPS lookup tables for the in-graph planner (SISO 20 MHz envelope)
+_NDBPS_L = np.array([24, 36, 48, 72, 96, 144, 192, 216], np.int32)
+_NDBPS_HT = np.array([26, 52, 78, 104, 156, 208, 234, 260], np.int32)
+_NDBPS_VHT = np.array([26, 52, 78, 104, 156, 208, 234, 260, 312, 1],
+                      np.int32)  # mcs9 invalid @ 20 MHz 1SS
+
+
+def _bits_val(bits, lo, n):
+    """LSB-first integer from bit columns [.., lo:lo+n]."""
+    w = (1 << jnp.arange(n, dtype=jnp.int32))
+    return jnp.sum(bits[:, lo:lo + n].astype(jnp.int32) * w, axis=-1)
+
+
+def _auto_plan(meta: dict) -> dict:
+    """Vectorized in-graph packet planner (jit analog of
+    SisoReceiver._plan_one, 20 MHz SISO envelope).
+
+    meta: the sig_parse output dict (traced arrays, [N]-shaped fields).
+    Returns fmt (0=L/1=HT/2=VHT, -1 invalid), mcs, n_sym, psdu_len,
+    ampdu — all [N] int32/bool.
+    """
+    lsig_ok = meta["lsig_ok"]
+    snr_ok = meta["snr"] > 0.0          # LTF-corr gate (sync_impl.cc:99)
+    l_mcs = meta["l_mcs"].astype(jnp.int32)
+    l_len = meta["l_len"].astype(jnp.int32)
+    ht_ok = meta["ht_ok"]
+    vht_ok = meta["vht_ok"]
+    imag_dom = meta["nl1_imag_dom"]
+
+    # format pick (mirror of _pick_nl_format): only an L-SIG rate of MCS0
+    # can hide a non-legacy preamble
+    nl = lsig_ok & (l_mcs == 0)
+    pick_vht = nl & vht_ok & (~imag_dom | ~ht_ok)
+    pick_ht = nl & ht_ok & ~pick_vht
+    pick_l = lsig_ok & ~pick_vht & ~pick_ht
+
+    # legacy
+    ndl = jnp.asarray(_NDBPS_L)[jnp.clip(l_mcs, 0, 7)]
+    l_n_sym = (8 * l_len + 22 + ndl - 1) // ndl
+    l_valid = pick_l & (l_len >= 14) & (l_len <= 4095)
+
+    # HT-SIG fields (cloud80211phy.cc:730-751 semantics, vectorized)
+    hb = meta["ht_bits"]
+    ht_mcs = _bits_val(hb, 0, 7)
+    ht_bw40 = hb[:, 7].astype(bool)
+    ht_len = _bits_val(hb, 8, 16)
+    ht_aggre = hb[:, 27].astype(bool)
+    ht_sgi = hb[:, 31].astype(bool)
+    ht_mcs_c = jnp.clip(ht_mcs, 0, 7)
+    ndh = jnp.asarray(_NDBPS_HT)[ht_mcs_c]
+    ht_n_sym = (8 * ht_len + 22 + ndh - 1) // ndh
+    ht_valid = pick_ht & (ht_mcs <= 7) & ~ht_bw40 & ~ht_sgi \
+        & (ht_len >= 1) & (ht_len <= 4095)
+
+    # VHT-SIG-A fields; nSym from the spoofed L-SIG duration
+    vb = meta["vht_bits"]
+    vht_bw = _bits_val(vb, 0, 2)
+    vht_nsts = _bits_val(vb, 10, 3) + 1
+    vht_sgi = vb[:, 24].astype(bool)
+    vht_mcs = _bits_val(vb, 28, 4)
+    n_sym_l = (l_len * 8 + 22 + 23) // 24
+    vht_n_sym = n_sym_l - 4 - 1          # nLTF = 1 (SISO)
+    vht_mcs_c = jnp.clip(vht_mcs, 0, 9)
+    vht_psdu = (vht_n_sym * jnp.asarray(_NDBPS_VHT)[vht_mcs_c] - 16 - 6) // 8
+    vht_valid = pick_vht & (vht_bw == 0) & (vht_nsts == 1) & ~vht_sgi \
+        & (vht_mcs <= 8) & (vht_n_sym >= 1) & (vht_psdu >= 1) \
+        & (vht_psdu <= 4095)
+
+    fmt = jnp.where(vht_valid, 2, jnp.where(ht_valid, 1,
+                    jnp.where(l_valid, 0, -1)))
+    mcs = jnp.where(vht_valid, vht_mcs, jnp.where(ht_valid, ht_mcs, l_mcs))
+    n_sym = jnp.where(vht_valid, vht_n_sym,
+                      jnp.where(ht_valid, ht_n_sym, l_n_sym))
+    psdu_len = jnp.where(vht_valid, vht_psdu,
+                         jnp.where(ht_valid, ht_len, l_len))
+    valid = (l_valid | ht_valid | vht_valid) & snr_ok
+    fmt = jnp.where(valid, fmt, -1)
+    return dict(fmt=fmt.astype(jnp.int32), mcs=mcs.astype(jnp.int32),
+                n_sym=n_sym.astype(jnp.int32),
+                psdu_len=psdu_len.astype(jnp.int32), ampdu=ht_aggre)
+
+
+_FMT_CODE = {F.L: 0, F.HT: 1, F.VHT: 2}
+
+
+def branch_window_len(mod: Mod, n_sym_cap: int) -> int:
+    """Window length needed to decode up to n_sym_cap symbols of mod."""
+    from ..models.pipeline import RxPipeline
+    return RxPipeline(mod, n_sym_cap, 0).window_len()
+
+
+def sharded_capture_decode_auto(mesh, branches, window_len: int,
+                                k_per_shard: int = 4):
+    """Mixed-format sharded capture decode with IN-GRAPH auto-detection.
+
+    branches: static tuple of (Mod, n_sym_cap) decode branches. Every
+    detected packet is planned in-graph from its own SIG fields
+    (sig_parse + _auto_plan) and routed to the first branch whose
+    (format, mcs) matches and whose symbol capacity fits — the masked
+    analog of the reference's per-packet format dispatch
+    (lib/demod_impl.cc:106-219). Each branch's fixed-config RX step runs
+    over all windows; outputs are one-hot selected. That costs
+    len(branches)x the single-config decode but keeps the whole mixed
+    capture in ONE XLA program over the mesh.
+
+    Pipeline (one program): sp-sharded STF autocorr with ppermute halo ->
+    in-graph trigger (capacity k_per_shard, with an overflow flag when a
+    (k+1)-th deduped trigger exists) -> halo window extraction ->
+    all_gather regroup -> per-window SIG parse + plan -> masked
+    multi-branch decode -> all_gather of bits + plan meta.
+
+    Returns run(capture[B, T, 2]; B over dp, T over sp) -> dict:
+      bits [B, n_win, max_bits], trig_t, ok, fmt, mcs, n_sym, psdu_len,
+      ampdu [B, n_win], overflow [B] (True => a shard saturated its
+      trigger capacity and may have dropped packets).
+    """
+    from ..models.pipeline import make_rx_step
+    from ..rx.receiver import sig_parse
+
+    branches = tuple(branches)
+    for m, cap in branches:
+        need = branch_window_len(m, cap)
+        assert window_len >= need, (
+            f"window_len {window_len} < {need} required by branch "
+            f"({m.fmt.name} mcs{m.mcs}, {cap} sym)")
+    steps = [make_rx_step(m, cap) for m, cap in branches]
+    n_bits_max = max(cap * m.nDBPS for m, cap in branches)
+    n_sp = mesh.shape["sp"]
+    w = window_len
+    cap_shard = NamedSharding(mesh, P("dp", "sp", None))
+
+    # check_vma=False for the same reason as sharded_capture_decode: the
+    # outputs are replicated over 'sp' by construction (all_gather), which
+    # the varying-axes checker cannot see through.
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("dp", "sp", None),
+             out_specs=(P("dp", None, None),) + (P("dp", None),) * 7
+             + (P("dp"),), check_vma=False)
+    def local(xb2):
+        from ..utils.riq import r2c
+        b, tl, _ = xb2.shape
+        idx = jax.lax.axis_index("sp")
+        perm = [(i, (i - 1) % n_sp) for i in range(n_sp)]
+        halo = jax.lax.ppermute(xb2[:, :w], "sp", perm)
+        ext = jnp.concatenate([xb2, halo], axis=1)
+        ac = sync.stf_autocorr(r2c(ext))
+        tail = (jnp.arange(ac.shape[1]) >= tl) & (idx == n_sp - 1)
+        ac = jnp.where(tail[None, :], 0.0, ac)
+        t_ext = _local_triggers(ac[:, :tl], k_per_shard + 1)
+        t_loc = t_ext[:, :k_per_shard]
+        overflow = t_ext[:, k_per_shard] < tl          # [B] capacity hit
+        valid = t_loc < tl
+        t_safe = jnp.minimum(t_loc, tl)
+        wins = jax.vmap(
+            lambda row, ts: jax.vmap(
+                lambda t: jax.lax.dynamic_slice(
+                    row, (t, 0), (w, 2)))(ts))(ext, t_safe)
+        t_glob = jnp.where(valid, t_loc + idx * tl, n_sp * tl)
+
+        wins_all = jax.lax.all_gather(wins, "sp")
+        val_all = jax.lax.all_gather(valid, "sp")
+        tg_all = jax.lax.all_gather(t_glob, "sp")
+        ov_all = jnp.any(jax.lax.all_gather(overflow, "sp"), axis=0)
+        wins_all = jnp.moveaxis(wins_all, 0, 1).reshape(
+            b, n_sp * k_per_shard, w, 2)
+        val_all = jnp.moveaxis(val_all, 0, 1).reshape(b, -1)
+        tg_all = jnp.moveaxis(tg_all, 0, 1).reshape(b, -1)
+        order = jnp.argsort(tg_all, axis=1)
+        wins_all = jnp.take_along_axis(
+            wins_all, order[:, :, None, None], axis=1)
+        val_all = jnp.take_along_axis(val_all, order, axis=1)
+        tg_all = jnp.take_along_axis(tg_all, order, axis=1)
+
+        mine = jnp.take(wins_all.reshape(b, k_per_shard, n_sp, w, 2),
+                        idx, axis=2)
+        xw = mine.reshape(b * k_per_shard, w, 2)
+        t0 = jnp.zeros(b * k_per_shard, jnp.int32)
+
+        meta = sig_parse(xw, t0)
+        plan = _auto_plan(meta)
+
+        # branch routing: first branch whose (fmt, mcs) matches and whose
+        # symbol capacity fits
+        bid = jnp.full(b * k_per_shard, -1, jnp.int32)
+        for j, (m, capj) in enumerate(branches):
+            match = (plan["fmt"] == _FMT_CODE[m.fmt]) \
+                & (plan["mcs"] == m.mcs) & (plan["n_sym"] <= capj)
+            bid = jnp.where((bid < 0) & match, j, bid)
+
+        bits = jnp.zeros((b * k_per_shard, n_bits_max), jnp.int32)
+        for j, step in enumerate(steps):
+            oj = step(xw, t0)
+            bj = oj["bits"].astype(jnp.int32)
+            if bj.shape[1] < n_bits_max:
+                bj = jnp.pad(bj, ((0, 0), (0, n_bits_max - bj.shape[1])))
+            bits = jnp.where((bid == j)[:, None], bj, bits)
+        ok = bid >= 0
+
+        def regroup(a, dims):
+            g = jax.lax.all_gather(a, "sp")          # [n_sp, B*k, ...]
+            g = g.reshape((n_sp, b, k_per_shard) + dims)
+            return jnp.moveaxis(g, 0, 2).reshape(
+                (b, n_sp * k_per_shard) + dims)
+
+        bits_f = regroup(bits, (n_bits_max,))
+        ok_f = regroup(ok, ()) & val_all
+        fmt_f = regroup(plan["fmt"], ())
+        mcs_f = regroup(plan["mcs"], ())
+        nsym_f = regroup(plan["n_sym"], ())
+        psdu_f = regroup(plan["psdu_len"], ())
+        amp_f = regroup(plan["ampdu"], ())
+        return (bits_f, tg_all, ok_f, fmt_f, mcs_f, nsym_f, psdu_f,
+                amp_f, ov_all)
+
+    @partial(jax.jit, in_shardings=(cap_shard,))
+    def run(capture):
+        (bits, trig_t, ok, fmt, mcs, n_sym, psdu_len, ampdu,
+         overflow) = local(capture)
+        return dict(bits=bits, trig_t=trig_t, ok=ok, fmt=fmt, mcs=mcs,
+                    n_sym=n_sym, psdu_len=psdu_len, ampdu=ampdu,
+                    overflow=overflow)
 
     return run
 

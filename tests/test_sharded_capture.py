@@ -99,3 +99,105 @@ def test_straddling_packet_decodes_via_halo():
                  for j in range(ok.shape[1]) if ok[r, j]]
         mpdus = [m for m in mpdus if fcs_ok(m)]
         assert mpdus == [mpdu]
+
+
+# ---------------------------------------------------------------------------
+# auto-detecting sharded loop (round-3: per-packet format detection
+# IN-GRAPH, parity with the reference's on-the-fly dispatch,
+# lib/demod_impl.cc:106-219)
+# ---------------------------------------------------------------------------
+
+
+def _mixed_capture(sp: int, rows: int):
+    from ieee80211_tpu.mac import aggregate_vht
+    from ieee80211_tpu.specs.modulation import ppdu_params_aggregate
+    from ieee80211_tpu.tx import gen_ampdu
+
+    mpdu = build_udp_mpdu(b"123456789012345678901234567890", MAC_CFG)
+    ampdu = aggregate_vht([mpdu])
+    mods = [Mod(F.L, 7), Mod(F.HT, 5), Mod(F.VHT, 7)]
+    pps = [ppdu_params_nonaggregate(mods[0], len(mpdu)),
+           ppdu_params_nonaggregate(mods[1], len(mpdu)),
+           ppdu_params_aggregate(mods[2], len(ampdu))]
+    waves = [finalize(gen_mpdu(mpdu, mods[0]).waveform, 0.2, 12000.0,
+                      gap=False)[0],
+             finalize(gen_mpdu(mpdu, mods[1]).waveform, 0.2, -8000.0,
+                      gap=False)[0],
+             finalize(gen_ampdu(ampdu, mods[2]).waveform, 0.2, 5000.0,
+                      gap=False)[0]]
+    branches = tuple((m, pp.n_sym) for m, pp in zip(mods, pps))
+    from ieee80211_tpu.parallel.sharded import branch_window_len
+    w = max(branch_window_len(m, c) for m, c in branches)
+    mw = max(len(x) for x in waves)
+    t_len = -(-(3 * (mw + 900) + 2 * w) // (512 * sp)) * (512 * sp)
+    tl = t_len // sp
+    cap = np.zeros((rows, t_len), dtype=np.complex64)
+    for r in range(rows):
+        order = [waves[(r + i) % 3] for i in range(3)]
+        offs = [64 + 16 * r, tl - 100, t_len - mw - w]
+        for o, wv in zip(offs, order):
+            cap[r, o:o + len(wv)] += wv
+    return mpdu, ampdu, branches, w, cap
+
+
+def test_sharded_auto_detect_matches_unsharded():
+    """MIXED L/HT/VHT-A-MPDU capture: the auto-detecting sharded program
+    recovers the same PSDUs as the unsharded public-API receiver."""
+    from ieee80211_tpu.parallel.sharded import sharded_capture_decode_auto
+
+    sp, dp = 2, 4
+    mesh = make_phy_mesh(8, sp=sp)
+    mpdu, ampdu, branches, w, cap = _mixed_capture(sp, dp)
+    run = sharded_capture_decode_auto(mesh, branches, w)
+    out = run(jnp.asarray(c2r(cap)))
+    ok = np.asarray(out["ok"])
+    bits = np.asarray(out["bits"])
+    fmt = np.asarray(out["fmt"])
+    psdu_len = np.asarray(out["psdu_len"])
+    assert not np.any(np.asarray(out["overflow"]))
+    from ieee80211_tpu.mac import deaggregate_vht
+
+    def _fcs_valid(f, psdu):
+        if f == 2:
+            subs = deaggregate_vht(psdu)
+            return bool(subs) and all(s.fcs_ok for s in subs)
+        return fcs_ok(psdu)
+
+    for r in range(dp):
+        # ok[] is SIG-consistency; the FCS gate (as in the reference's
+        # decode block) rejects mid-packet re-trigger junk windows
+        got = [(int(fmt[r, j]), _mpdu_of(bits[r, j], int(psdu_len[r, j])))
+               for j in range(ok.shape[1]) if ok[r, j]]
+        got = [(f, m) for f, m in got if _fcs_valid(f, m)]
+        assert sorted(f for f, _ in got) == [0, 1, 2], f"row {r}: {got}"
+        # parity vs the batched unsharded receiver on the same row
+        res = SisoReceiver().decode_capture(cap[r])
+        want = {x.psdu for x in res if x.fcs_ok}
+        assert len(want) >= 1
+        assert {m for _, m in got} == want
+
+
+def test_sharded_auto_overflow_flag():
+    """More deduped triggers than k_per_shard in one shard must raise the
+    overflow flag (round-2 weak #4: silent drops)."""
+    from ieee80211_tpu.parallel.sharded import (branch_window_len,
+                                                sharded_capture_decode_auto)
+
+    sp = 2
+    mesh = make_phy_mesh(8, sp=sp)
+    mpdu = build_udp_mpdu(b"123456789012345678901234567890", MAC_CFG)
+    mod = Mod(F.L, 7)
+    pp = ppdu_params_nonaggregate(mod, len(mpdu))
+    wave = finalize(gen_mpdu(mpdu, mod).waveform, 0.2, 0.0, gap=False)[0]
+    branches = ((mod, pp.n_sym),)
+    w = branch_window_len(mod, pp.n_sym)
+    t_len = -(-(4 * (len(wave) + 600) + w) // (512 * sp)) * (512 * sp)
+    cap = np.zeros((4, t_len), dtype=np.complex64)
+    # row 0: 3 packets all inside shard 0 -> overflows k_per_shard=2
+    for i in range(3):
+        o = 64 + i * (len(wave) + 600)
+        cap[0, o:o + len(wave)] += wave
+    run = sharded_capture_decode_auto(mesh, branches, w, k_per_shard=2)
+    out = run(jnp.asarray(c2r(cap)))
+    assert bool(np.asarray(out["overflow"])[0])
+    assert not np.any(np.asarray(out["overflow"])[1:])
