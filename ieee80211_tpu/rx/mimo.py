@@ -236,23 +236,29 @@ class MimoReceiver:
     """
 
     def __init__(self, sample_rate_hz: float = 20e6, stats=None,
-                 ingest: str = "f32"):
+                 ingest: str = "auto"):
         self.fs = sample_rate_hz
         self.q = int(round(sample_rate_hz / 20e6))
         if self.q not in (1, 2, 4):
             raise ValueError("sample rate must be 20/40/80 MHz")
-        if ingest not in ("f32", "int8"):
-            raise ValueError("ingest must be 'f32' or 'int8'")
+        if ingest not in ("auto", "f32", "int8"):
+            raise ValueError("ingest must be 'auto', 'f32' or 'int8'")
         self.bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[self.q]
         self.ingest = ingest
         from ..utils.metrics import DecodeStats
         self.stats = stats if stats is not None else DecodeStats()
 
     def _upload(self, capture: np.ndarray):
+        """See SisoReceiver._upload: auto = f32 below 32 MB, int8 above
+        (relay upload cliff); per-chain native peak quantization."""
         from .receiver import next_pow2
+        capture = np.ascontiguousarray(capture, dtype=np.complex64)
         n = capture.shape[1]
         npad = next_pow2(n + 4096, lo=1 << 15)
-        if self.ingest == "int8":
+        mode = self.ingest
+        if mode == "auto":
+            mode = "int8" if npad > (1 << 19) else "f32"
+        if mode == "int8":
             peak = float(max(np.abs(capture.real).max(initial=0.0),
                              np.abs(capture.imag).max(initial=0.0), 1e-12))
             s = 126.0 / peak
@@ -261,8 +267,7 @@ class MimoReceiver:
             buf[:, :n, 1] = np.clip(np.round(capture.imag * s), -127, 127)
             return jnp.asarray(buf), jnp.float32(1.0 / s), npad
         buf = np.zeros((2, npad, 2), np.float32)
-        buf[:, :n, 0] = capture.real
-        buf[:, :n, 1] = capture.imag
+        buf[:, :n] = capture.view(np.float32).reshape(2, -1, 2)
         return jnp.asarray(buf), jnp.float32(1.0), npad
 
     def decode_capture(self, capture: np.ndarray) -> List[PacketResult]:
@@ -331,6 +336,11 @@ class MimoReceiver:
                 cap_dev, scale, jnp.asarray(t_abs), jnp.asarray(ltf),
                 jnp.asarray(cfo), jnp.asarray(nv))
             futs.append((items, out))
+        # overlap all device->host copies (one relay round-trip total;
+        # see SisoReceiver._run_plans)
+        for _, (pb, ev) in futs:
+            pb.copy_to_host_async()
+            ev.copy_to_host_async()
         collected = []
         for items, (packed_b, evm) in futs:
             pb = np.asarray(packed_b)

@@ -323,36 +323,68 @@ def pack_bits_le(bits: jnp.ndarray) -> jnp.ndarray:
                    axis=-1).astype(jnp.uint8)
 
 
-# meta packing: every sig_parse field in ONE int32 array so the host needs
-# a single fetch (each device->host RPC costs a full relay round trip)
-_META_INT_FIELDS = ("ltf_start", "lsig_ok", "l_mcs", "l_len", "ht_ok",
-                    "vht_ok", "nl1_imag_dom")
-_META_F32_FIELDS = ("cfo", "snr")
+# meta packing: every sig_parse field bit-packed into NINE int32 words per
+# window so the host needs a single SMALL fetch (each device->host RPC
+# costs a full relay round trip PLUS ~30 us/KB of payload — the old
+# 129-column layout made the meta fetch alone cost ~40 ms per 1k windows)
+#   w0: ltf_start | w1: flags/l_mcs/l_len | w2: lsig bits | w3-4: ht bits
+#   w5-6: vht bits | w7: cfo (f32 bitcast) | w8: snr (f32 bitcast)
+
+
+def _bits_to_words(bits: jnp.ndarray, n: int) -> list:
+    """[B, n] 0/1 -> list of [B] int32 words, 24 bits per word LSB-first."""
+    out = []
+    for lo in range(0, n, 24):
+        w = (1 << jnp.arange(min(24, n - lo), dtype=jnp.int32))
+        out.append(jnp.sum(bits[:, lo:lo + 24].astype(jnp.int32) * w,
+                           axis=-1))
+    return out
 
 
 def _pack_meta(meta: dict) -> jnp.ndarray:
-    ints = [meta[k].astype(jnp.int32)[:, None] for k in _META_INT_FIELDS]
-    bits = [meta[k].astype(jnp.int32)
-            for k in ("lsig_bits", "ht_bits", "vht_bits")]
-    f32 = jnp.stack([meta[k].astype(jnp.float32)
-                     for k in _META_F32_FIELDS], axis=1)
+    w1 = (meta["lsig_ok"].astype(jnp.int32)
+          | (meta["ht_ok"].astype(jnp.int32) << 1)
+          | (meta["vht_ok"].astype(jnp.int32) << 2)
+          | (meta["nl1_imag_dom"].astype(jnp.int32) << 3)
+          | (meta["l_mcs"].astype(jnp.int32) << 4)
+          | (meta["l_len"].astype(jnp.int32) << 8))
+    words = ([meta["ltf_start"].astype(jnp.int32), w1]
+             + _bits_to_words(meta["lsig_bits"], 24)
+             + _bits_to_words(meta["ht_bits"], 48)
+             + _bits_to_words(meta["vht_bits"], 48))
+    f32 = jnp.stack([meta["cfo"].astype(jnp.float32),
+                     meta["snr"].astype(jnp.float32)], axis=1)
     fbits = jax.lax.bitcast_convert_type(f32, jnp.int32)
-    return jnp.concatenate(ints + bits + [fbits], axis=1)
+    return jnp.concatenate([jnp.stack(words, axis=1), fbits], axis=1)
+
+
+def _words_to_bits(words: np.ndarray, n: int) -> np.ndarray:
+    """[B, ceil(n/24)] int32 -> [B, n] 0/1 (LSB-first, 24 bits/word)."""
+    cols = []
+    for i in range(words.shape[1]):
+        k = min(24, n - 24 * i)
+        cols.append((words[:, i:i + 1] >> np.arange(k)) & 1)
+    return np.concatenate(cols, axis=1)
 
 
 def _unpack_meta(packed: np.ndarray) -> dict:
     packed = np.asarray(packed)
-    out = {}
-    o = 0
-    for k in _META_INT_FIELDS:
-        out[k] = packed[:, o]
-        o += 1
-    for k, n in (("lsig_bits", 24), ("ht_bits", 48), ("vht_bits", 48)):
-        out[k] = packed[:, o:o + n]
-        o += n
-    f32 = packed[:, o:o + len(_META_F32_FIELDS)].copy().view(np.float32)
-    for i, k in enumerate(_META_F32_FIELDS):
-        out[k] = f32[:, i]
+    w1 = packed[:, 1]
+    out = {
+        "ltf_start": packed[:, 0],
+        "lsig_ok": w1 & 1,
+        "ht_ok": (w1 >> 1) & 1,
+        "vht_ok": (w1 >> 2) & 1,
+        "nl1_imag_dom": (w1 >> 3) & 1,
+        "l_mcs": (w1 >> 4) & 0xF,
+        "l_len": (w1 >> 8) & 0xFFF,
+        "lsig_bits": _words_to_bits(packed[:, 2:3], 24),
+        "ht_bits": _words_to_bits(packed[:, 3:5], 48),
+        "vht_bits": _words_to_bits(packed[:, 5:7], 48),
+    }
+    f32 = packed[:, 7:9].copy().view(np.float32)
+    out["cfo"] = f32[:, 0]
+    out["snr"] = f32[:, 1]
     return out
 
 
@@ -563,13 +595,13 @@ class SisoReceiver:
     """
 
     def __init__(self, sample_rate_hz: float = 20e6, stats=None,
-                 ingest: str = "f32"):
+                 ingest: str = "auto"):
         self.fs = sample_rate_hz
         self.q = int(round(sample_rate_hz / 20e6))
         if self.q not in (1, 2, 4):
             raise ValueError("sample rate must be 20/40/80 MHz")
-        if ingest not in ("f32", "int8"):
-            raise ValueError("ingest must be 'f32' or 'int8'")
+        if ingest not in ("auto", "f32", "int8"):
+            raise ValueError("ingest must be 'auto', 'f32' or 'int8'")
         self.bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[self.q]
         self.ingest = ingest
         from ..utils.metrics import DecodeStats
@@ -578,21 +610,63 @@ class SisoReceiver:
     # -- upload ------------------------------------------------------------
     def _upload(self, capture: np.ndarray):
         """Quantize + zero-pad the capture to a pow2 length and ship it to
-        the device once. Returns (cap_dev, dequant_scale, npad)."""
+        the device once. Returns (cap_dev, dequant_scale, npad).
+
+        ingest="auto" sends float32 for short captures and peak-normalized
+        int8 beyond ~1M samples: 8-bit I/Q costs -48 dB quantization noise
+        — far below any decodable operating point (radio front-ends
+        deliver 8-12 bit I/Q to begin with) — and int8 both rides the fast
+        relay upload path (the link drops from ~1.6 GB/s to ~160 MB/s past
+        ~48 MB per transfer) and enables the fused native
+        scan-and-quantize ingest pass (_ingest)."""
+        capture = np.ascontiguousarray(capture, dtype=np.complex64)
         n = len(capture)
         npad = next_pow2(n + 4096, lo=1 << 15)
-        if self.ingest == "int8":
-            peak = float(max(np.abs(capture.real).max(initial=0.0),
-                             np.abs(capture.imag).max(initial=0.0), 1e-12))
-            s = 126.0 / peak
+        mode = self.ingest
+        if mode == "auto":
+            mode = "int8" if npad > (1 << 20) else "f32"
+        if mode == "int8":
             buf = np.zeros((npad, 2), np.int8)
-            buf[:n, 0] = np.clip(np.round(capture.real * s), -127, 127)
-            buf[:n, 1] = np.clip(np.round(capture.imag * s), -127, 127)
-            return jnp.asarray(buf), jnp.float32(1.0 / s), npad
+            from .. import native
+            s = native.quantize_int8(capture, buf[:n])
+            if s is None:                        # no native toolchain
+                peak = float(max(np.abs(capture.real).max(initial=0.0),
+                                 np.abs(capture.imag).max(initial=0.0),
+                                 1e-12))
+                sc = 126.0 / peak
+                buf[:n, 0] = np.clip(np.round(capture.real * sc), -127, 127)
+                buf[:n, 1] = np.clip(np.round(capture.imag * sc), -127, 127)
+                s = 1.0 / sc
+            return jnp.asarray(buf), jnp.float32(s), npad
         buf = np.zeros((npad, 2), np.float32)
-        buf[:n, 0] = capture.real
-        buf[:n, 1] = capture.imag
+        buf[:n] = capture.view(np.float32).reshape(-1, 2)
         return jnp.asarray(buf), jnp.float32(1.0), npad
+
+    def _ingest(self, capture: np.ndarray):
+        """Trigger scan + quantize + upload with the fewest host passes.
+
+        On the int8 path the native runtime fuses the STF trigger scan,
+        peak tracking and int8 quantization into one call over the capture
+        (native/phyrt.cc phyrt_scan_quantize); the upload is submitted
+        before SIG parsing so the transfer overlaps host planning.
+        Returns (t0s, cap_dev, scale, npad)."""
+        from .. import native
+        n = len(capture)
+        npad = next_pow2(n + 4096, lo=1 << 15)
+        mode = self.ingest
+        if mode == "auto":
+            mode = "int8" if npad > (1 << 20) else "f32"
+        if mode == "int8" and native.available():
+            buf = np.zeros((npad, 2), np.int8)
+            t0s, s = native.scan_quantize(
+                capture, buf[:n], thresh=0.5, plateau=20 * self.q,
+                min_gap=400 * self.q, lag=16 * self.q)
+            return (np.asarray(t0s, dtype=np.int64), jnp.asarray(buf),
+                    jnp.float32(s), npad)
+        t0s = np.asarray(sync.find_triggers_np(capture, q=self.q),
+                         dtype=np.int64)
+        cap_dev, scale, npad = self._upload(capture)
+        return t0s, cap_dev, scale, npad
 
     # -- main entry --------------------------------------------------------
     def decode_capture(self, capture: np.ndarray,
@@ -609,30 +683,87 @@ class SisoReceiver:
         (VHT, nSym == 0) yields an mu.sounding.NdpCapture with the
         CFO-corrected VHT-LTF windows, ready for SVD feedback.
         """
-        capture = np.asarray(capture, dtype=np.complex64)
-        t0s = np.asarray(sync.find_triggers_np(capture, q=self.q),
-                         dtype=np.int64)
+        capture = np.ascontiguousarray(capture, dtype=np.complex64)
+        t0s, cap_dev, scale, npad = self._ingest(capture)
         results: List[PacketResult] = []
         ndps = []
         if len(t0s) == 0:
             return results, ndps
-        cap_dev, scale, npad = self._upload(capture)
         meta = self._parse_sigs(cap_dev, scale, npad, t0s)
         self.stats.n_trigger += len(t0s)
         self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"][:len(t0s)]))
-        plans = []
-        for i in range(len(t0s)):
-            p = self._plan_one(len(capture), meta, i)
-            if p is None:
-                continue
-            if p.ndp:
-                ndps.append(self._extract_ndp(capture, p))
-            else:
-                plans.append((i, p))
+        plans, ndp_plans = self._plan_batch(len(capture), meta, len(t0s))
+        for p in ndp_plans:
+            ndps.append(self._extract_ndp(capture, p))
         for i, r in self._run_plans(cap_dev, scale, npad, plans):
             self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
             results.append(r)
         return results, [n for n in ndps if n is not None]
+
+    def decode_captures(self, captures) -> List[List[PacketResult]]:
+        """Pipelined decode of a STREAM of captures.
+
+        Same per-capture results as decode_capture, but the three phases
+        are software-pipelined across the whole stream so every relay
+        round trip and device<->host transfer overlaps work from the other
+        captures: (1) ingest + async SIG dispatch for all captures, (2)
+        meta fetch -> plan -> async DATA dispatch per capture, (3)
+        overlapped result fetch + MAC assembly. This is the sustained-
+        throughput entry the reference's streaming flowgraph corresponds
+        to (examples/rx.grc runs at 20 Msps continuously); bench.py
+        measures it as api_stream_samples_per_sec. Data packets only —
+        use decode_capture_full to also surface NDP channel reports.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+        caps = [np.ascontiguousarray(c, dtype=np.complex64)
+                for c in captures]
+        n = len(caps)
+        st2: list = [None] * n
+        st3: list = [None] * n
+
+        def phase2(k):
+            """Meta fetch -> vectorized plan -> async DATA dispatch."""
+            if st2[k] is None:
+                return None
+            t0s, cap_dev, scale, npad, packed, t_clamp = st2[k]
+            meta = self._finish_sigs(packed, t_clamp)
+            self.stats.n_trigger += len(t0s)
+            self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"][:len(t0s)]))
+            plans, _ = self._plan_batch(len(caps[k]), meta, len(t0s))
+            return self._dispatch_plans(cap_dev, scale, npad, plans)
+
+        # The ingest pass (native scan+quantize, releases the GIL) runs on
+        # a worker thread one capture ahead, while the main thread plans
+        # and dispatches the PREVIOUS capture — so host sweeps, device
+        # compute and relay transfers all overlap (software pipeline,
+        # depth 1).
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            ing = [ex.submit(self._ingest, cap) for cap in caps]
+            for k in range(n):
+                t0s, cap_dev, scale, npad = ing[k].result()
+                if len(t0s) > 0:
+                    packed, t_clamp = self._dispatch_sigs(
+                        cap_dev, scale, npad, t0s)
+                    packed.copy_to_host_async()
+                    st2[k] = (t0s, cap_dev, scale, npad, packed, t_clamp)
+                if k >= 1:
+                    st3[k - 1] = phase2(k - 1)
+            if n:
+                st3[n - 1] = phase2(n - 1)
+        finally:
+            ex.shutdown(wait=False)
+        out: List[List[PacketResult]] = []
+        for s in st3:                                   # phase 3
+            if s is None:
+                out.append([])
+                continue
+            results = []
+            for i, r in self._finish_plans(s):
+                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
+                results.append(r)
+            out.append(results)
+        return out
 
     def _extract_ndp(self, capture: np.ndarray, p: _Plan):
         """CFO-corrected VHT-LTF windows of a detected NDP (host side —
@@ -652,13 +783,14 @@ class SisoReceiver:
         return NdpCapture(ltf_iq=np.concatenate(wins), cfo_rad=p.cfo,
                           snr_db=p.snr)
 
-    def _parse_sigs(self, cap_dev, scale, npad, t0s) -> dict:
-        """Batched SIG parse of all trigger windows; one packed fetch.
+    def _dispatch_sigs(self, cap_dev, scale, npad, t0s):
+        """Submit the batched SIG parse (async); returns (packed_dev,
+        t_clamp) for _finish_sigs.
 
         The non-legacy STF mid-packet also correlates at lag 16q and can
         re-fire the trigger (the reference re-arms the same way,
         lib/trigger_impl.cc:92-109); those spurious windows fail the SIG
-        gates in _plan_one.
+        gates in _plan_batch.
         """
         wlen = (SIGPARSE_WIN + 320) * self.q
         bpad = -(-len(t0s) // 32) * 32
@@ -669,14 +801,22 @@ class SisoReceiver:
         delta[:len(t0s)] = t0s - tc
         packed = sig_parse_capture(cap_dev, scale, jnp.asarray(t_clamp),
                                    jnp.asarray(delta), wlen=wlen, q=self.q)
+        return packed, t_clamp
+
+    @staticmethod
+    def _finish_sigs(packed, t_clamp) -> dict:
         meta = _unpack_meta(np.asarray(packed))
         meta["win_start"] = t_clamp
         return meta
 
-    def _run_plans(self, cap_dev, scale, npad, plans):
-        """Group plans by (Mod, bucket), dispatch one jit program per
-        group (async), then fetch + assemble. Yields (trigger_idx,
-        PacketResult) in trigger order."""
+    def _parse_sigs(self, cap_dev, scale, npad, t0s) -> dict:
+        """Batched SIG parse of all trigger windows; one packed fetch."""
+        return self._finish_sigs(*self._dispatch_sigs(cap_dev, scale, npad,
+                                                      t0s))
+
+    def _dispatch_plans(self, cap_dev, scale, npad, plans):
+        """Group plans by (Mod, bucket) and submit one jit program per
+        group (async). Returns futs for _finish_plans."""
         groups: dict = {}
         for i, p in plans:
             groups.setdefault((p.mod, _bucket(p.n_sym)), []).append((i, p))
@@ -705,6 +845,16 @@ class SisoReceiver:
                 cap_dev, scale, jnp.asarray(t_abs), jnp.asarray(ltf),
                 jnp.asarray(cfo), jnp.asarray(nv))
             futs.append((items, out))
+        # start ALL device->host copies before blocking on any: the relay
+        # round-trip (~30 ms) is paid once for the whole capture instead of
+        # once per group fetch (measured 8x16KB: 27 ms overlapped)
+        for _, (pb, ev) in futs:
+            pb.copy_to_host_async()
+            ev.copy_to_host_async()
+        return futs
+
+    @staticmethod
+    def _finish_plans(futs):
         collected = []
         for items, (packed_b, evm) in futs:
             pb = np.asarray(packed_b)
@@ -716,6 +866,114 @@ class SisoReceiver:
                     float(ev[j]))))
         collected.sort(key=lambda t: t[0])
         return collected
+
+    def _run_plans(self, cap_dev, scale, npad, plans):
+        """Dispatch all groups, fetch + assemble. Returns [(trigger_idx,
+        PacketResult)] in trigger order."""
+        return self._finish_plans(
+            self._dispatch_plans(cap_dev, scale, npad, plans))
+
+    def _plan_batch(self, cap_len: int, meta, n: int):
+        """Vectorized packet planning over all n trigger windows.
+
+        Same gates and geometry as _plan_one (kept as the single-window
+        reference implementation; tests/test_bucketing.py asserts parity),
+        but the SIG-field bit arithmetic and the gate masks run as numpy
+        array ops — the per-packet Python cost drops from ~36 us to ~8 us,
+        which matters once captures carry thousands of packets.
+        Returns (data_plans [(i, _Plan)], ndp_plans [_Plan])."""
+        snr = np.asarray(meta["snr"][:n], np.float64)
+        lsig_ok = np.asarray(meta["lsig_ok"][:n]).astype(bool)
+        cand = lsig_ok & (snr > 0.0)
+        plans: list = []
+        ndps: list = []
+        if not np.any(cand):
+            return plans, ndps
+        win_start = np.asarray(meta["win_start"][:n], np.int64)
+        ltf_start = np.asarray(meta["ltf_start"][:n], np.int64)
+        cfo = np.asarray(meta["cfo"][:n], np.float64)
+        cfo_hz = cfo * self.fs / (2 * np.pi) * -1.0
+        l_mcs = np.asarray(meta["l_mcs"][:n], np.int64)
+        l_len = np.asarray(meta["l_len"][:n], np.int64)
+        ht_ok = np.asarray(meta["ht_ok"][:n]).astype(bool)
+        vht_ok = np.asarray(meta["vht_ok"][:n]).astype(bool)
+        imag_dom = np.asarray(meta["nl1_imag_dom"][:n]).astype(bool)
+        hb = np.asarray(meta["ht_bits"][:n], np.int64)
+        vb = np.asarray(meta["vht_bits"][:n], np.int64)
+        ht_mcs = hb[:, :7] @ (1 << np.arange(7, dtype=np.int64))
+        ht_bw40 = hb[:, 7].astype(bool)
+        ht_len = hb[:, 8:24] @ (1 << np.arange(16, dtype=np.int64))
+        ht_aggre = hb[:, 27].astype(bool)
+        ht_sgi = hb[:, 31].astype(bool)
+        v_bw = vb[:, 0] + 2 * vb[:, 1]
+        v_nsts = (vb[:, 10:13] @ (1 << np.arange(3, dtype=np.int64))) + 1
+        v_sgi = vb[:, 24].astype(bool)
+        v_mcs = vb[:, 28:32] @ (1 << np.arange(4, dtype=np.int64))
+        # format pick, _pick_nl_format precedence, applied when l_mcs == 0
+        pick_vht = vht_ok & (~imag_dom | ~ht_ok)
+        pick_ht = ht_ok & ~pick_vht
+        is_nl = cand & (l_mcs == 0)
+        is_vht = is_nl & pick_vht
+        is_ht = is_nl & pick_ht
+        is_l = cand & ~is_vht & ~is_ht
+        # VHT nSym budget from the spoofed L-SIG length (vectorized)
+        v_nltf = np.asarray(tables.N_LTF)[np.minimum(v_nsts, 4)]
+        v_nsym_l = -(-(l_len * 8 + 16 + 6) // 24)
+        v_nsym = v_nsym_l - 2 - 1 - v_nltf - 1
+
+        def extent(n_ltf, n_sym):
+            return (448 + 80 * n_ltf + 160 + n_sym * 80) * self.q
+
+        for i in np.flatnonzero(cand):
+            ws, ls = int(win_start[i]), int(ltf_start[i])
+            c, chz, sn = float(cfo[i]), float(cfo_hz[i]), float(snr[i])
+            if is_l[i]:
+                if self.q != 1 or not (14 <= l_len[i] <= 4095):
+                    continue
+                mod = Mod(F.L, int(l_mcs[i]))
+                pp = ppdu_params_nonaggregate(mod, int(l_len[i]))
+                n_sym = pp.n_sym
+                if (n_sym <= 0 or n_sym * mod.nDBPS > 33000
+                        or ws + ls + extent(mod.nLTF, n_sym) > cap_len):
+                    continue
+                plans.append((i, _Plan(mod, n_sym, int(l_len[i]), False,
+                                       ws, ls, c, chz, sn)))
+            elif is_ht[i]:
+                bw = BW.BW40 if ht_bw40[i] else BW.BW20
+                if bw != self.bw or ht_mcs[i] > 15 or ht_sgi[i]:
+                    continue
+                if ht_mcs[i] // 8 + 1 != 1:
+                    continue          # SISO receiver; 2x2 -> MimoReceiver
+                if not (1 <= ht_len[i] <= 4095):
+                    continue
+                mod = Mod(F.HT, int(ht_mcs[i]), bw, 1, False)
+                pp = ppdu_params_nonaggregate(mod, int(ht_len[i]))
+                if (pp.n_sym <= 0 or pp.n_sym * mod.nDBPS > 33000
+                        or ws + ls + extent(mod.nLTF, pp.n_sym) > cap_len):
+                    continue
+                plans.append((i, _Plan(mod, pp.n_sym, int(ht_len[i]),
+                                       bool(ht_aggre[i]), ws, ls, c, chz,
+                                       sn)))
+            elif is_vht[i]:
+                if (v_bw[i] != int(self.bw) or v_sgi[i]
+                        or not (1 <= v_nsts[i] <= 4)):
+                    continue
+                if v_nsym[i] <= 0:
+                    ndps.append(_Plan(Mod(F.VHT, 0, self.bw, int(v_nsts[i])),
+                                      0, 0, False, ws, ls, c, chz, sn,
+                                      ndp=True))
+                    continue
+                if v_nsts[i] != 1:
+                    continue          # SISO receiver; 2x2 -> MimoReceiver
+                mod = Mod(F.VHT, int(v_mcs[i]), self.bw, 1, False)
+                n_sym = int(v_nsym[i])
+                psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
+                if (n_sym * mod.nDBPS > 33000 or psdu_len > 4095
+                        or ws + ls + extent(mod.nLTF, n_sym) > cap_len):
+                    continue
+                plans.append((i, _Plan(mod, n_sym, psdu_len, True, ws, ls,
+                                       c, chz, sn)))
+        return plans, ndps
 
     def _plan_one(self, cap_len: int, meta, i) -> Optional[_Plan]:
         if not bool(meta["lsig_ok"][i]):

@@ -73,3 +73,72 @@ def test_mixed_formats_share_buckets():
     # L5 lengths 60/140 share one bucket or two; HT5 same — but never one
     # program per packet
     assert get_data_decoder.cache_info().currsize <= 4
+
+
+def test_plan_batch_matches_plan_one():
+    """The vectorized planner (_plan_batch) must make the same decisions,
+    packet for packet, as the scalar reference (_plan_one) — incl. NDPs,
+    junk triggers (noise-only windows) and out-of-envelope configs."""
+    rng = np.random.default_rng(7)
+    parts = []
+    for fmt, mcs, plen in [(F.L, 3, 80), (F.HT, 6, 200), (F.VHT, 7, 300),
+                           (F.VHT, 2, 55)]:
+        payload = bytes(rng.integers(0, 256, plen, dtype=np.uint8))
+        if fmt == F.VHT:
+            wave = gen_ampdu(aggregate_vht([build_udp_mpdu(
+                payload, MAC_CFG_QOS)]), Mod(fmt, mcs)).waveform
+        else:
+            wave = gen_mpdu(build_udp_mpdu(payload, MAC_CFG),
+                            Mod(fmt, mcs)).waveform
+        parts.append(finalize(wave, 0.2, cfo_hz=7000.0, gap=True,
+                              gap_len=700)[0])
+    ndp = gen_ampdu(b"", Mod(F.VHT, 0, nSTS=2))
+    parts.append(finalize(ndp.waveform, 0.2, gap=True, gap_len=700)[0])
+    cap = np.concatenate(parts)
+    cap = cap + (rng.standard_normal(cap.shape)
+                 + 1j * rng.standard_normal(cap.shape)).astype(
+                     np.complex64) * 1e-3
+    rx = SisoReceiver()
+    from ieee80211_tpu.ops import sync
+    t0s = np.asarray(sync.find_triggers_np(
+        np.ascontiguousarray(cap, np.complex64), q=1), np.int64)
+    assert len(t0s) >= 5
+    cap_dev, scale, npad = rx._upload(np.asarray(cap, np.complex64))
+    meta = rx._parse_sigs(cap_dev, scale, npad, t0s)
+    plans_b, ndps_b = rx._plan_batch(len(cap), meta, len(t0s))
+    plans_s, ndps_s = [], []
+    for i in range(len(t0s)):
+        p = rx._plan_one(len(cap), meta, i)
+        if p is None:
+            continue
+        (ndps_s if p.ndp else plans_s).append((i, p))
+    assert [i for i, _ in plans_b] == [i for i, _ in plans_s]
+    for (_, pb), (_, ps) in zip(plans_b, plans_s):
+        assert pb == ps, (pb, ps)
+    assert len(ndps_b) == len(ndps_s)
+    for pb, (_, ps) in zip(ndps_b, ndps_s):
+        assert pb == ps
+
+
+def test_decode_captures_stream_matches_single():
+    """The pipelined stream entry returns exactly the per-capture results
+    of decode_capture (bit-exact PSDUs, same order)."""
+    rng = np.random.default_rng(8)
+    caps = []
+    for k in range(3):
+        parts = []
+        for plen in (70, 220, 400):
+            mpdu = build_udp_mpdu(
+                bytes(rng.integers(0, 256, plen, dtype=np.uint8)),
+                MAC_CFG_QOS)
+            wave = gen_ampdu(aggregate_vht([mpdu]), Mod(F.VHT, 5)).waveform
+            parts.append(finalize(wave, 0.2, cfo_hz=4000.0 * k, gap=True,
+                                  gap_len=800)[0])
+        caps.append(np.concatenate(parts))
+    rx = SisoReceiver()
+    stream = rx.decode_captures(caps)
+    assert len(stream) == 3
+    for cap, res in zip(caps, stream):
+        single = SisoReceiver().decode_capture(cap)
+        assert [r.psdu for r in res] == [r.psdu for r in single]
+        assert all(r.fcs_ok for r in res) and len(res) == 3

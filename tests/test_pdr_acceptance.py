@@ -83,7 +83,34 @@ def test_committed_artifact_thresholds():
         assert got <= MAX_WATERFALL_SISO[base] + MIMO_EXTRA_DB, \
             f"mimo {name}: waterfall {got} dB too high"
 
-    # curves must be (noisily) monotone: PDR at 30 dB is 1.0 everywhere
-    for grp in art["curves"].values():
-        for name, curve in grp.items():
+    # AWGN-on-identity groups: PDR at 30 dB is 1.0 everywhere
+    for grp_name in ("siso", "mimo_2x2"):
+        for name, curve in art["curves"][grp_name].items():
             assert curve[-1] == 1.0, f"{name}: PDR@30dB = {curve[-1]}"
+
+
+@pytest.mark.skipif(not os.path.exists(ART),
+                    reason="full-sweep artifact not generated yet")
+def test_committed_artifact_fading_mu_thresholds():
+    """Beyond-reference rows: PDR over ENSEMBLES of random channels
+    (per-packet multipath / 2x2 mixing) and the 2-user MU closed loop.
+
+    Random-channel sweeps have outage — a draw whose condition number or
+    per-tone fade exceeds what the constellation affords at 30 dB — so
+    dense-constellation rows assert a >=0.7 ensemble floor instead of the
+    1.0 the identity-channel groups must reach."""
+    with open(ART) as f:
+        art = json.load(f)
+    floors = {"VHT0": 0.95, "VHT4": 0.9, "VHT7": 0.7,
+              "HT8": 0.95, "HT12": 0.9}
+    for grp in ("siso_fading_40", "siso_fading_80",
+                "mimo_2x2_fading_40", "mimo_2x2_fading_80"):
+        assert grp in art["curves"], f"missing sweep group {grp}"
+        for name, curve in art["curves"][grp].items():
+            assert curve[-1] >= floors[name], \
+                f"{grp}/{name}: ensemble PDR@30dB {curve[-1]}"
+    mu = art["curves"]["mu_2user"]
+    for name, curve in mu.items():
+        assert curve[-1] >= 0.9, f"mu {name}: PDR@30dB {curve[-1]}"
+        wf = _snr_at(art["snr_db"], curve, 0.9)
+        assert wf is not None and wf <= 30
