@@ -256,6 +256,75 @@ def main():
     except Exception:
         pass
 
+    # secondary metric: MU STA decode rate (BASELINE config 5's RX half —
+    # the station-side mupos decode of a 2-user MU PPDU; reference
+    # tools/cmu_v3/cmu_ap.py:98-213 semantics). Identity BFQ geometry:
+    # the per-tone P-column combining, joint pilot tracking and
+    # own-stream ZF cost exactly the same as through any channel.
+    mu_rx_sps = 0.0
+    try:
+        from ieee80211_tpu.mac import MacConfig as _MC4
+        from ieee80211_tpu.mac import aggregate_vht as _agg4
+        from ieee80211_tpu.mac import build_udp_mpdu as _bum4
+        from ieee80211_tpu.mu.sounding import MuStaDecoder
+        from ieee80211_tpu.ops import sync as _sync4
+        from ieee80211_tpu.specs import BW as _BW4
+        from ieee80211_tpu.specs import F as _F4
+        from ieee80211_tpu.specs import Mod as _Mod4
+        from ieee80211_tpu.specs.modulation import (
+            ppdu_params_aggregate as _ppa4)
+        from ieee80211_tpu.tx import finalize as _fin4
+        from ieee80211_tpu.tx import gen_ampdu_mu as _gam4
+        from ieee80211_tpu.utils import c2r as _c2r4
+        _cfg4 = _MC4(subtype=8, addr1="f4:69:d5:80:0f:a0",
+                     addr2="00:c0:ca:b1:5b:e1", addr3="f4:69:d5:80:0f:a0",
+                     seq=2704)
+        rng4 = np.random.default_rng(4)
+        amps = [_agg4([_bum4(bytes(rng4.integers(0, 256, 500,
+                                                 dtype=np.uint8)), _cfg4)])
+                for _ in range(2)]
+        mods4 = [_Mod4(_F4.VHT, 4, _BW4.BW20, 1)] * 2
+        qi = np.tile(np.eye(2, dtype=np.complex64)[None], (64, 1, 1))
+        mu_tx4 = _gam4(amps, mods4, bfq=qi, group_id=2)
+        pps4 = [_ppa4(m, len(a)) for m, a in zip(mods4, amps)]
+        n_sym4 = max(p.n_sym for p in pps4)
+        wave4 = _fin4(mu_tx4.waveform, multiplier=0.2, cfo_hz=-9000.0,
+                      gap=True, gap_len=64)
+        dec4 = MuStaDecoder(mods4[0], n_sym4, pps4[0].psdu_len, 0)
+        w4 = 192 + 448 + 160 + 80 + 80 * n_sym4 + 80
+        sta_batch = max(batch // 4, 1)
+        x4 = np.zeros(w4, np.complex64)
+        seg4 = wave4[0, 64 - 8:]
+        x4[:min(w4, len(seg4))] = seg4[:min(w4, len(seg4))]
+        x4d = jnp.asarray(np.tile(_c2r4(x4)[None], (sta_batch, 1, 1)))
+        t4d = jnp.zeros(sta_batch, jnp.int32)
+
+        # correctness gate (outside timing): STA0 recovers its exact MPDU
+        ls0, cf0, _ = _sync4.sync_front_iq(x4d[:1], t4d[:1])
+        bits0 = dec4.decode(x4d[:1], ls0, cf0)
+        psdu0 = np.packbits(
+            np.asarray(bits0)[0, 16:16 + pps4[0].psdu_len * 8],
+            bitorder="little").tobytes()
+        from ieee80211_tpu.mac import deaggregate_vht as _dg4
+        subs4 = _dg4(psdu0)
+        assert subs4 and subs4[0].fcs_ok, "MU STA decode invalid"
+
+        def sta_step(x, t):
+            ls, cf, _ = _sync4.sync_front_iq(x, t)
+            return jnp.sum(dec4._decode(x, ls, cf)[:, :8]).astype(
+                jnp.float32)
+
+        sta_k = k_loop(sta_step, K)
+        np.asarray(sta_k(x4d, t4d))
+        sts4 = []
+        for _ in range(5):
+            t = time.perf_counter()
+            np.asarray(sta_k(x4d, t4d))
+            sts4.append(time.perf_counter() - t)
+        mu_rx_sps = sta_batch * w4 / max((np.median(sts4) - rt) / K, 1e-6)
+    except Exception:
+        pass
+
     # secondary metric: the PUBLIC API path — SisoReceiver.decode_capture on
     # a multi-packet mixed-length capture (host loop + per-packet fetches;
     # the honest gap vs the fixed-config pipeline, VERDICT weak #4)
@@ -358,6 +427,7 @@ def main():
             "tx_gen_samples_per_sec_l_mcs0": round(tx_sps),
             "rx_decode_sps_vht80_mcs9": round(wb_sps),
             "mu_tx_samples_per_sec_2user_2x2": round(mu_sps),
+            "mu_sta_decode_samples_per_sec": round(mu_rx_sps),
             "api_decode_capture_packets_per_sec": round(api_pps, 1),
             "api_decode_capture_samples_per_sec": round(api_msps),
             "api_stream_packets_per_sec": round(api_stream_pps),

@@ -101,7 +101,11 @@ def test_committed_artifact_fading_mu_thresholds():
     1.0 the identity-channel groups must reach."""
     with open(ART) as f:
         art = json.load(f)
-    floors = {"VHT0": 0.95, "VHT4": 0.9, "VHT7": 0.7,
+    # TPU r3 artifact measured: siso_fading_40 VHT0/4/7 = 1.0/0.94/0.73,
+    # siso_fading_80 = 1.0/0.90/0.83, mimo rows >= 0.95, MU = 1.0.
+    # Floors sit ~0.05 under the measured ensemble PDR so seed-level
+    # drift on regeneration doesn't flap, a real regression still trips.
+    floors = {"VHT0": 0.95, "VHT4": 0.85, "VHT7": 0.65,
               "HT8": 0.95, "HT12": 0.9}
     for grp in ("siso_fading_40", "siso_fading_80",
                 "mimo_2x2_fading_40", "mimo_2x2_fading_80"):
