@@ -13,6 +13,7 @@ Prints ONE JSON line.
 import json
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -155,7 +156,7 @@ def main():
         n_tx_samp = batch * (txp.n_samp)
         tx_sps = n_tx_samp / max((np.median(tts) - rt) / K_TX, 1e-6)
     except Exception:
-        pass
+        traceback.print_exc(file=sys.stderr)
 
     # secondary metric: 80 MHz VHT MCS9 decode rate (beyond the reference
     # envelope — its RX is 20 MHz-only)
@@ -202,7 +203,7 @@ def main():
             wts.append(time.perf_counter() - t)
         wb_sps = wb_batch * _w / max((np.median(wts) - rt) / K, 1e-9)
     except Exception:
-        pass
+        traceback.print_exc(file=sys.stderr)
 
     # secondary metric: VHT 2x2 MU-MIMO TX with runtime spatial-mapping Q
     # (BASELINE.md config 5; reference analog tools/cmu_v3/cmu_ap.py:204-212)
@@ -254,7 +255,7 @@ def main():
         mu_sps = mu_batch * 2 * mu.n_samp / max(
             (np.median(mts) - rt) / K_MU, 1e-6)
     except Exception:
-        pass
+        traceback.print_exc(file=sys.stderr)
 
     # secondary metric: MU STA decode rate (BASELINE config 5's RX half —
     # the station-side mupos decode of a 2-user MU PPDU; reference
@@ -323,7 +324,7 @@ def main():
             sts4.append(time.perf_counter() - t)
         mu_rx_sps = sta_batch * w4 / max((np.median(sts4) - rt) / K, 1e-6)
     except Exception:
-        pass
+        traceback.print_exc(file=sys.stderr)
 
     # secondary metric: the PUBLIC API path — SisoReceiver.decode_capture on
     # a multi-packet mixed-length capture (host loop + per-packet fetches;
@@ -370,7 +371,7 @@ def main():
         api_pps = len(res) / dt_api
         api_msps = len(cap) / dt_api
     except Exception:
-        pass
+        traceback.print_exc(file=sys.stderr)
 
     # secondary metric: SUSTAINED public-API throughput — a stream of six
     # ~4M-sample captures (1000 mixed HT/VHT packets each) through the
@@ -411,7 +412,7 @@ def main():
         api_stream_pps = n_pk / dt_s
         api_stream_sps = sum(len(c) for c in caps) / dt_s
     except Exception:
-        pass
+        traceback.print_exc(file=sys.stderr)
 
     baseline_sps = 20e6   # reference real-time operating point: 20 Msps
     print(json.dumps({

@@ -63,8 +63,7 @@ def make_rx_step(mod: Mod, n_sym: int):
         # estimate and every data symbol, so it cancels in equalization.
         zlen = 32 * q + data_offset() + 80 * q * n_sym
         z = r2c(sync.batch_slice_iq(x2, ltf_start - gi, zlen))
-        z = z * jnp.exp(1j * cfo[:, None]
-                        * jnp.arange(zlen, dtype=jnp.float32)[None, :])
+        z = z * sync.cfo_ramp(cfo, zlen)
 
         ltf_t = demod.static_symbol_windows(z, 0, 2, nfft=nfft, gi=gi,
                                             shift=sh, stride=nfft)

@@ -25,10 +25,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ...specs import CR, tables
 from ..coding import depuncture
 
-TB = 512         # default batch tile (multiple of the 128-lane width);
+TB = 2048        # default batch tile (multiple of the 128-lane width);
                  # wider tiles amortize the per-iteration overhead of the
-                 # sequential ACS loop (TPU sweep: 512 beats 128 by ~25%
-                 # and beats 1024 — the config behind the 303 Msps run)
+                 # sequential ACS loop. Round-3 TPU sweep at batch 2048:
+                 # tb=2048 (one tile, whole batch) 7.40 ms vs 512's
+                 # 7.98 ms — earlier rounds' 512-beats-1024 result was
+                 # from a VMEM-tighter kernel; the survivor-pack + 80 MB
+                 # guard below keeps wide tiles inside VMEM now
 RADIX = 4        # supported radix: 3 or 4 (k<=2 shapes lay out badly on
                  # the VPU and are not maintained)
 NEG = -1e30
@@ -215,18 +218,30 @@ def _pick_chunk(n_blk: int, pack: int = 1) -> int:
     return pack
 
 
+RENORM = 64      # metric renorm period in radix blocks (r3 sweep)
+
+
 def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
-                          radix: int = RADIX, tb: int = TB,
+                          radix: int = None, tb: int = None,
                           pack: int = None,
-                          renorm: int = 16,
+                          renorm: int = None,
                           dtype=jnp.float32,
                           interpret: bool = False) -> jnp.ndarray:
     """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32.
+
+    radix/tb/renorm default to the module-level RADIX/TB/RENORM at CALL
+    time (so sweeps and tests can retune without re-importing).
 
     interpret=True runs the kernel through the Pallas interpreter on any
     backend — the CPU-CI numerics gate for every exposed config (the bf16
     default regression of round 1 would have been caught here)."""
     dt = dtype
+    if radix is None:
+        radix = RADIX
+    if tb is None:
+        tb = TB
+    if renorm is None:
+        renorm = RENORM
     k = radix
     b = llrs.shape[0]
     if pack is None:

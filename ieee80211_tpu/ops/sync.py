@@ -131,8 +131,7 @@ def _ltf_sync_window(y: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
     """
     p = 64 * q                                 # LTF period in samples
     win = n_lag + 2 * p + p
-    y = y * jnp.exp(1j * cfo_rad[:, None]
-                    * jnp.arange(win, dtype=jnp.float32)[None, :])
+    y = y * cfo_ramp(cfo_rad, win)
     prod = y[:, :-p] * jnp.conj(y[:, p:])
     pwr = jnp.abs(y) ** 2
     # all four real moving sums as ONE banded matmul (stacked on the batch
@@ -203,11 +202,24 @@ def ltf_sync(x: jnp.ndarray, t0: jnp.ndarray, cfo_rad: jnp.ndarray,
     return _ltf_sync_window(y, t0, cfo_rad, n_lag, thresh)
 
 
+def cfo_ramp(cfo_rad: jnp.ndarray, n: int) -> jnp.ndarray:
+    """exp(j * cfo * arange(n)) per row, [B] -> [B, n].
+
+    lax.complex(cos, sin) rather than exp(1j * ...): the python `1j`
+    scalar would be device_put as complex64 — unsupported on the axon
+    transport when called EAGERLY, and one failed transfer poisons the
+    process (utils/riq.py convention). Keep this form elementwise: a
+    factored outer-product variant (30x fewer transcendentals) measured
+    SLOWER end to end (305 vs 333 Msps on the r3 bench) because the
+    materialized product blocks XLA from fusing the ramp into the
+    downstream window extraction."""
+    ph = cfo_rad[:, None] * jnp.arange(n, dtype=jnp.float32)[None, :]
+    return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
 def apply_cfo_correction(x: jnp.ndarray, cfo_rad: jnp.ndarray) -> jnp.ndarray:
     """Multiply [B, N] by exp(j * cfo_rad * n) (compensation ramp)."""
-    n = x.shape[-1]
-    ramp = jnp.arange(n, dtype=jnp.float32)
-    return x * jnp.exp(1j * cfo_rad[:, None] * ramp[None, :])
+    return x * cfo_ramp(cfo_rad, x.shape[-1])
 
 
 # ---------------------------------------------------------------------------

@@ -91,8 +91,7 @@ class MimoDataDecoder:
         nfft, gi, sh = 64 * q, 16 * q, 8 * q
         b = x2.shape[0]
         x = r2c(x2)                                       # [B, 2, N]
-        y = x * jnp.exp(1j * cfo[:, None, None]
-                        * jnp.arange(x.shape[-1])[None, None, :])
+        y = x * sync.cfo_ramp(cfo, x.shape[-1])[:, None, :]
         yf = y.reshape(b * 2, -1)
         ls2 = jnp.repeat(ltf_start, 2)
 

@@ -36,13 +36,13 @@ def main():
 
     ref = None
     cases = [
-        dict(radix=4, tb=512, pack=1, renorm=1),    # previous default
-        dict(radix=4, tb=512, pack=2, renorm=16),
-        dict(radix=4, tb=1024, pack=2, renorm=16),
-        dict(radix=2, tb=1024, pack=4, renorm=16),
-        dict(radix=2, tb=2048, pack=4, renorm=16),
-        dict(radix=2, tb=2048, pack=4, renorm=32),
+        dict(radix=4, tb=512, pack=2, renorm=16),   # current default
+        dict(radix=4, tb=2048, pack=2, renorm=16),
+        dict(radix=4, tb=2048, pack=2, renorm=64),
         dict(radix=3, tb=2048, pack=2, renorm=16),
+        dict(radix=3, tb=2048, pack=2, renorm=64),
+        dict(radix=4, tb=2048, pack=1, renorm=16),
+        dict(radix=4, tb=1024, pack=2, renorm=64),
     ]
     for kw in cases:
         def fn(l):

@@ -36,6 +36,7 @@ CASES = [
     # (radix, pack, renorm, dtype) — the exposed config space
     (3, None, 16, jnp.float32),
     (4, None, 16, jnp.float32),
+    (4, None, 64, jnp.float32),   # TPU default since r3 (tb=2048 sweep)
     (4, 1, 16, jnp.float32),
     (4, 2, 1, jnp.float32),
     (3, 2, 4, jnp.float32),
@@ -59,10 +60,9 @@ def test_interpret_matches_reference(cr, radix, pack, renorm, dtype):
 def test_interpret_default_config():
     """Run the committed DEFAULTS verbatim (only tb capped for CI speed):
     a default flip to a config with broken numerics goes red here."""
-    sig = inspect.signature(viterbi_decode_pallas)
-    defaults = {k: v.default for k, v in sig.parameters.items()
-                if v.default is not inspect.Parameter.empty}
-    assert defaults["radix"] == RADIX and defaults["tb"] == TB
+    # defaults resolve to the module-level RADIX/TB/RENORM at call time
+    from ieee80211_tpu.ops.pallas import viterbi as _v
+    assert (_v.RADIX, _v.TB, _v.RENORM) == (4, 2048, 64)
     rng = np.random.default_rng(7)
     n_bits = 528
     bits, llr = _encode_batch(rng, 4, n_bits, CR.CR34)
