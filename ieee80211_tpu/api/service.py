@@ -81,9 +81,18 @@ class PhyService:
         records: List[bytes] = []
         capture = np.asarray(capture)
         if capture.ndim == 2:
-            for r in self.mimo_rx.decode_capture(capture):
+            # universal dual-chain pass: legacy/SISO (MRC), 2x2, and NDP
+            # channel reports — one per RX chain (the reference emits one
+            # type-20 blob per NDP from its data chain,
+            # lib/decode_impl.cc:100-121; a 2-chain report doubles the
+            # sounding information)
+            pkts2, ndps2 = self.mimo_rx.decode_capture_full(capture)
+            for r in pkts2:
                 for mpdu in r.mpdus:
                     records.append(d.pack_rx_record(r.fmt.value, mpdu, r.mcs))
+            for chain_caps in ndps2:
+                for ndp in chain_caps:
+                    records.append(d.pack_channel_report(ndp.ltf_iq))
             return records
         # unified receiver pass: data packets AND NDP channel reports come
         # from ONE decode (parity: lib/decode_impl.cc:100-121 emits the

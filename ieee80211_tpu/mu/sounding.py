@@ -69,13 +69,21 @@ def sta_capture_ndp(capture: np.ndarray, n_sts: int = 2
 
 
 class MuStaDecoder:
-    """Decode this station's stream of a 2-STS MU PPDU (1 RX antenna)."""
+    """Decode this station's stream of an MU PPDU (1 RX antenna).
 
-    def __init__(self, mod: Mod, n_sym: int, psdu_len: int, mupos: int):
+    mupos here is the station's SPACE-TIME STREAM index within the group
+    (== group position when every user has one stream); n_sts_total is the
+    group's total stream count (<= 4, reference genAmpduMu envelope,
+    tools/phy80211.py:183)."""
+
+    def __init__(self, mod: Mod, n_sym: int, psdu_len: int, mupos: int,
+                 n_sts_total: int = 2):
         self.mod = mod
         self.n_sym = n_sym
         self.psdu_len = psdu_len
         self.mupos = mupos
+        self.n_sts = n_sts_total
+        self.n_ltf = int(tables.N_LTF[n_sts_total])
         self.n_bits = n_sym * mod.nDBPS
         self._fn = jax.jit(self._decode)
 
@@ -83,16 +91,17 @@ class MuStaDecoder:
         mod = self.mod
         u = self.mupos
         y = sync.apply_cfo_correction(r2c(x2), cfo)
-        n_ltf = 2
+        n_ltf = self.n_ltf
         ltf_t = demod.extract_symbol_windows(y, ltf_start + OFF_NLLTF, n_ltf)
-        ltf_f = demod.fft_syms(ltf_t)                     # [B, 2, 64]
+        ltf_f = demod.fft_syms(ltf_t)                     # [B, nLtf, 64]
         ref = jnp.asarray(demod.ltf_ref_grid(mod.bw, False))
         safe_ref = jnp.where(ref == 0, 1.0, ref)
-        p = tables.P_LTF_4[:2, :2]
-        # own-stream effective channel via P-column combining
-        h_u = jnp.einsum("l,blk->bk", p[u], ltf_f) / 2.0 / safe_ref
+        p = tables.P_LTF_4[:max(self.n_sts, 2), :n_ltf]
+        # own-stream effective channel via P-row combining (P rows are
+        # orthogonal over the nLtf symbols)
+        h_u = jnp.einsum("l,blk->bk", p[u], ltf_f) / n_ltf / safe_ref
         h_u = jnp.where(ref == 0, 1.0 + 0j, h_u)
-        # pilot channel: sum over streams, from LTF1 (R row = +1)
+        # pilot channel: sum over streams, from LTF1 (R[0] = +1 for all)
         pil = jnp.asarray(tables.PILOT_GRID[(mod.bw, False)])
         sum_h_pil = ltf_f[:, 0, :][..., pil] / safe_ref[pil]
 
@@ -117,8 +126,9 @@ class MuStaDecoder:
 
 
 @lru_cache(maxsize=64)
-def get_mu_sta_decoder(mod: Mod, n_sym: int, psdu_len: int, mupos: int):
-    return MuStaDecoder(mod, n_sym, psdu_len, mupos)
+def get_mu_sta_decoder(mod: Mod, n_sym: int, psdu_len: int, mupos: int,
+                       n_sts_total: int = 2):
+    return MuStaDecoder(mod, n_sym, psdu_len, mupos, n_sts_total)
 
 
 def sta_decode_mu(capture: np.ndarray, mupos: int,
@@ -144,48 +154,67 @@ def sta_decode_mu(capture: np.ndarray, mupos: int,
         bw, gid, _, _, sgi, _ = parse_vht_siga(meta["vht_bits"][0])
         if bw != BW.BW20 or sgi or not (1 <= gid <= 62):
             continue
+        # MU NSTS fields: 4 users x 3 bits at SIG-A bits 10..21 (0 = user
+        # absent); this station's stream index = streams before its
+        # position (reference genAmpduMu group layout, phy80211.py:183)
+        vb = np.asarray(meta["vht_bits"][0], np.int64)
+        nsts_u = [int(vb[10 + 3 * u:13 + 3 * u] @ (1 << np.arange(3)))
+                  for u in range(4)]
+        n_sts_total = int(sum(nsts_u))
+        if not (1 <= n_sts_total <= 4) or mupos >= 4 or nsts_u[mupos] != 1:
+            continue                  # absent / multi-stream user: not ours
+        stream_idx = int(sum(nsts_u[:mupos]))
+        n_ltf = int(tables.N_LTF[n_sts_total])
         l_len = int(meta["l_len"][0])
         n_sym_l = int(np.ceil((l_len * 8 + 16 + 6) / 24))
-        n_sym = n_sym_l - 2 - 1 - 2 - 1      # nLtf = 2 for 2 STS
+        n_sym = n_sym_l - 2 - 1 - n_ltf - 1
         if n_sym <= 0:
             continue
         ltf_start = np.asarray([meta["ltf_start"][0]], np.int32)
         cfo = np.asarray([meta["cfo"][0]], np.float32)
-        sigb = _decode_mu_sigb(x2, ltf_start, cfo, mupos)
+        sigb = _decode_mu_sigb(x2, ltf_start, cfo, stream_idx, n_sts_total)
         if sigb is None:
             continue
-        mcs, ampdu_len = sigb
+        mcs, ampdu_len, sigb_crc = sigb
         mod = Mod(F.VHT, mcs, BW.BW20, 1)
-        need = int(ltf_start[0]) + 448 + 240 + n_sym * 80
+        need = int(ltf_start[0]) + 448 + 80 * n_ltf + 160 + n_sym * 80
         if need > wlen or n_sym * mod.nDBPS > 33000:
             continue
         psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
-        dec = get_mu_sta_decoder(mod, n_sym, psdu_len, mupos)
+        dec = get_mu_sta_decoder(mod, n_sym, psdu_len, stream_idx,
+                                 n_sts_total)
         bits = dec.decode(jnp.asarray(x2), jnp.asarray(ltf_start),
                           jnp.asarray(cfo))[0]
+        # SIG-B CRC-8 vs SERVICE bits 8..15: a mismatch means the SIG-B
+        # (mcs, length) decode is unreliable — drop, as the reference does
+        sigb_ok = bool(np.all(np.asarray(bits[8:16]) == sigb_crc))
+        if not sigb_ok:
+            continue
         r = assemble_packet(F.VHT, mod, psdu_len, bits, True,
                             float(cfo[0]) * fs_hz / (2 * np.pi) * -1.0,
                             float(meta["snr"][0]))
+        r.sigb_ok = True
         out.append(r)
     return out
 
 
-@lru_cache(maxsize=8)
-def _mu_sigb_fn(mupos: int):
+@lru_cache(maxsize=16)
+def _mu_sigb_fn(mupos: int, n_sts_total: int = 2):
     sigb_mod = Mod(F.VHT, 0, BW.BW20, 1)
+    n_ltf = int(tables.N_LTF[n_sts_total])
 
     @jax.jit
     def fn(x2, ltf_start, cfo):
         y = sync.apply_cfo_correction(r2c(x2), cfo)
-        ltf_t = demod.extract_symbol_windows(y, ltf_start + OFF_NLLTF, 2)
+        ltf_t = demod.extract_symbol_windows(y, ltf_start + OFF_NLLTF, n_ltf)
         ltf_f = demod.fft_syms(ltf_t)
         ref = jnp.asarray(demod.ltf_ref_grid(BW.BW20, False))
         safe_ref = jnp.where(ref == 0, 1.0, ref)
-        p = tables.P_LTF_4[:2, :2]
-        h_u = jnp.einsum("l,blk->bk", p[mupos], ltf_f) / 2.0 / safe_ref
+        p = tables.P_LTF_4[:max(n_sts_total, 2), :n_ltf]
+        h_u = jnp.einsum("l,blk->bk", p[mupos], ltf_f) / n_ltf / safe_ref
         h_u = jnp.where(ref == 0, 1.0 + 0j, h_u)
         g = demod.fft_syms(demod.extract_symbol_windows(
-            y, ltf_start + OFF_NLLTF + 160, 1))[:, 0]
+            y, ltf_start + OFF_NLLTF + 80 * n_ltf, 1))[:, 0]
         pil = jnp.asarray(tables.PILOT_GRID[(BW.BW20, False)])
         sum_h_pil = ltf_f[:, 0, :][..., pil] / safe_ref[pil]
         pref = jnp.asarray(tables.PILOT_VHT[BW.BW20]
@@ -194,19 +223,27 @@ def _mu_sigb_fn(mupos: int):
         ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
         eq = (g / ph[:, None]) / h_u
         llr = jnp.real(eq[..., jnp.asarray(tables.DATA_GRID[(BW.BW20, False)])])
+        # 4/7/8-stream groups flip SIG-B's sign on some streams
+        # (P_SIGB_NSTS478, 21.3.8.3.6 / tx vht_sigb_field)
+        if n_sts_total in (4, 7, 8):
+            llr = llr * float(tables.P_SIGB_NSTS478[mupos])
         llr = llr[..., jnp.asarray(ilv.rx_perm(sigb_mod))]
         return coding.viterbi_decode(llr, CR.CR12, 26)
 
     return fn
 
 
-def _decode_mu_sigb(x2, ltf_start, cfo, mupos: int):
-    """MU VHT-SIG-B: 16-bit len/4 + 4-bit mcs (+ crc8 checked via service)."""
-    bits = np.asarray(_mu_sigb_fn(mupos)(jnp.asarray(x2),
-                                         jnp.asarray(ltf_start),
-                                         jnp.asarray(cfo)))[0]
+def _decode_mu_sigb(x2, ltf_start, cfo, mupos: int, n_sts_total: int = 2):
+    """MU VHT-SIG-B: 16-bit len/4 + 4-bit mcs. Returns (mcs, length,
+    expected_crc8) — the CRC-8 of the 20 pre-tail bits, to be verified
+    against SERVICE bits 8..15 of the descrambled DATA stream
+    (parity: signalParserVhtB + vhtSigBDemod, lib/demod_impl.cc:449-505)."""
+    bits = np.asarray(_mu_sigb_fn(mupos, n_sts_total)(jnp.asarray(x2),
+                                                      jnp.asarray(ltf_start),
+                                                      jnp.asarray(cfo)))[0]
     length = int(np.sum(bits[0:16] << np.arange(16))) * 4
     mcs = int(np.sum(bits[16:20] << np.arange(4)))
     if mcs > 9:
         return None
-    return mcs, length
+    crc = np.asarray(crc8_bits(list(bits[:20])), dtype=np.int64)
+    return mcs, length, crc

@@ -8,6 +8,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -155,8 +156,8 @@ class _DeaggScratch:
     """Preallocated output buffers + cached ctypes pointers: the per-call
     marshaling (fresh np.zeros + 4x data_as) cost ~20 us/packet on the
     decode_capture assembly path; reusing them cuts it to a few us.
-    One instance per (thread-confined) call site — the receiver assembles
-    on the main thread only."""
+    Thread-LOCAL (deagg feeds the public mac.deaggregate_* functions, so
+    external callers may run it from several threads concurrently)."""
 
     __slots__ = ("cap", "offs", "lens", "oks", "p_offs", "p_lens", "p_oks")
 
@@ -172,7 +173,7 @@ class _DeaggScratch:
         self.p_oks = self.oks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
-_deagg_scratch = _DeaggScratch()
+_deagg_tls = threading.local()
 
 
 def deagg(psdu: bytes, vht: bool = True, max_sub: int = 64
@@ -181,9 +182,11 @@ def deagg(psdu: bytes, vht: bool = True, max_sub: int = 64
     lib = _load()
     if lib is None:
         return None
-    s = _deagg_scratch
+    s = getattr(_deagg_tls, "scratch", None)
+    if s is None:
+        s = _deagg_tls.scratch = _DeaggScratch()
     if max_sub > s.cap:
-        s = _DeaggScratch(max_sub)
+        s = _deagg_tls.scratch = _DeaggScratch(max_sub)
     buf = np.frombuffer(psdu if isinstance(psdu, (bytes, bytearray))
                         else bytes(psdu), dtype=np.uint8)
     n = lib.phyrt_deagg(

@@ -44,8 +44,12 @@ int64_t phyrt_find_triggers_lag(const float* iq, int64_t n, float thresh,
   for (int64_t i = 0; i < n_pos; ++i) {
     // |acc| / sqrt(p1*p2) > thresh  <=>  |acc|^2 > thresh^2 * p1 * p2
     // (squared compare: no per-sample hypot/sqrt — the scan runs at
-    // memory bandwidth instead of libm speed)
-    if (std::norm(acc) > t2 * p1 * p2 + 1e-24) {
+    // memory bandwidth instead of libm speed). Rolling-sum drift can make
+    // p1/p2 slightly negative in long silent regions; clamp so the RHS
+    // never goes negative (a negative RHS would let any tiny |acc|^2 fire
+    // spurious plateau triggers — the sqrt form yielded NaN -> false).
+    const double pp = (p1 > 0.0 && p2 > 0.0) ? p1 * p2 : 0.0;
+    if (std::norm(acc) > t2 * pp + 1e-24) {
       if (++run == plateau) {
         const int64_t s = i - plateau + 1;
         if (s - last >= min_gap) {
@@ -197,10 +201,13 @@ int64_t phyrt_scan_quantize(const float* iq, int64_t n, float thresh,
     if (a > peak) peak = a;
   }
   const float s = 126.0f / peak;
+  // identical clamp+rounding to phyrt_quantize_int8 (lrintf, +-127), so
+  // decode_capture and decode_captures produce bit-identical quantized
+  // inputs for the same capture
   for (int64_t i = 0; i < m; ++i) {
     float v = iq[i] * s;
-    v = v < -126.5f ? -126.5f : (v > 126.5f ? 126.5f : v);
-    q_out[i] = (int8_t)(v + (v >= 0.0f ? 0.5f : -0.5f));
+    v = v < -127.0f ? -127.0f : (v > 127.0f ? 127.0f : v);
+    q_out[i] = (int8_t)std::lrintf(v);
   }
   *scale_out = peak / 126.0f;
   return phyrt_find_triggers_lag(iq, n, thresh, plateau, min_gap, lag, out,

@@ -390,24 +390,14 @@ def ml_detect_llr_2x2(gd: jnp.ndarray, h: jnp.ndarray, mod: M
 # ---------------------------------------------------------------------------
 
 
-def demod_data_siso(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
-                    n_sym: int, pidx0: int, with_snr: bool = False,
-                    n_valid_sym: jnp.ndarray = None):
-    """Equalize+track+demap+deinterleave the DATA field.
+def _demod_data_tail(eq: jnp.ndarray, mod: Mod, n_sym: int, pidx0: int,
+                     with_snr: bool, n_valid_sym: jnp.ndarray):
+    """Shared post-equalization tail: pilot phase track + demap +
+    deinterleave + bucket-padding mask (+ EVM SNR).
 
-    sym_grids: [B, n_sym, nfft] raw FFT grids; chan: [B, nfft].
-    Returns LLRs in coded-bit order [B, n_sym * nCBPSS]; with with_snr also
-    the per-packet EVM SNR [B] in dB.
-
-    n_valid_sym: optional traced [B] int32 — the true per-packet symbol
-    count when n_sym is a static BUCKET (compile-count bounding): LLRs of
-    symbols >= n_valid_sym are forced to 0 (path-neutral in the Viterbi)
-    and excluded from the EVM, so one compiled program serves every packet
-    length within the bucket.
-    """
+    eq: [B, n_sym, nfft] equalized symbol grids."""
     legacy = mod.fmt == F.L
     key = (mod.bw, legacy)
-    eq = equalize(sym_grids, chan)
     pref = jnp.asarray(pilot_refs(mod, n_sym, pidx0))
     ph = pilot_phase(eq, pref, tables.PILOT_GRID[key])
     eq = eq / ph[..., None]
@@ -426,3 +416,49 @@ def demod_data_siso(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
     if with_snr:
         return out, evm_snr_db(data, mod.mod, sym_mask=m)
     return out
+
+
+def demod_data_siso(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
+                    n_sym: int, pidx0: int, with_snr: bool = False,
+                    n_valid_sym: jnp.ndarray = None):
+    """Equalize+track+demap+deinterleave the DATA field.
+
+    sym_grids: [B, n_sym, nfft] raw FFT grids; chan: [B, nfft].
+    Returns LLRs in coded-bit order [B, n_sym * nCBPSS]; with with_snr also
+    the per-packet EVM SNR [B] in dB.
+
+    n_valid_sym: optional traced [B] int32 — the true per-packet symbol
+    count when n_sym is a static BUCKET (compile-count bounding): LLRs of
+    symbols >= n_valid_sym are forced to 0 (path-neutral in the Viterbi)
+    and excluded from the EVM, so one compiled program serves every packet
+    length within the bucket.
+    """
+    eq = equalize(sym_grids, chan)
+    return _demod_data_tail(eq, mod, n_sym, pidx0, with_snr, n_valid_sym)
+
+
+def mrc_combine(grids: jnp.ndarray, chan: jnp.ndarray) -> jnp.ndarray:
+    """Maximal-ratio combining of multi-chain symbol grids.
+
+    grids: [B, nRx, S, nfft] per-chain FFT grids; chan: [B, nRx, nfft]
+    per-chain channel. Returns the combined equalized grid [B, S, nfft]
+    eq = sum_r conj(H_r) Y_r / sum_r |H_r|^2 — the matched-filter
+    (max-SNR) combiner for a single transmitted stream.
+    """
+    wt = jnp.conj(chan)
+    den = jnp.sum(jnp.abs(chan) ** 2, axis=1) + 1e-9      # [B, nfft]
+    return jnp.einsum("brsk,brk->bsk", grids, wt) / den[:, None, :]
+
+
+def demod_data_mrc(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
+                   n_sym: int, pidx0: int, with_snr: bool = False,
+                   n_valid_sym: jnp.ndarray = None):
+    """demod_data_siso for a single-stream packet on MULTIPLE RX chains.
+
+    sym_grids: [B, nRx, n_sym, nfft]; chan: [B, nRx, nfft]. MRC-combines
+    the chains (2-chain diversity the reference's dual-antenna RX never
+    had for legacy/SISO packets — it decodes them from chain 0 only,
+    lib/demod2_impl.cc:213-276), then runs the shared demod tail.
+    """
+    eq = mrc_combine(sym_grids, chan)
+    return _demod_data_tail(eq, mod, n_sym, pidx0, with_snr, n_valid_sym)

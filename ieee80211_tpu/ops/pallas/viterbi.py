@@ -193,7 +193,7 @@ def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
         interpret=interpret,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # llr in HBM
+            pl.BlockSpec(memory_space=pl.ANY),             # llr in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),         # wmat
         ],
         out_specs=pl.BlockSpec((n_blk, TB), lambda i: (0, i),

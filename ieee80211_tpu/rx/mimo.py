@@ -22,7 +22,7 @@ from ..specs import BW, CR, F, M, Mod, tables
 from ..specs import interleaver as ilv
 from ..utils.riq import r2c
 from .receiver import (N_SYM_BUCKET, OFF_LSIG, OFF_NLLTF, PacketResult,
-                       _bucket, assemble_packet, parse_ht_sig,
+                       SisoReceiver, _bucket, assemble_packet, parse_ht_sig,
                        parse_vht_siga, sig_parse_mimo)
 
 
@@ -138,9 +138,11 @@ class MimoDataDecoder:
         if n_valid is not None:
             sym_m = (jnp.arange(self.n_sym, dtype=jnp.int32)[None, :]
                      < n_valid[:, None])                  # [B, S]
+        # PER-STREAM EVM SNRs (reference sssnr0/sssnr1,
+        # lib/demod2_impl.cc:736-757): reduce over (S, nSD) only
         evm = demod.evm_snr_db(
-            data, mod.mod, axes=(-3, -2, -1),
-            sym_mask=None if sym_m is None else sym_m[:, None, :])
+            data, mod.mod, axes=(-2, -1),
+            sym_mask=None if sym_m is None else sym_m[:, None, :])  # [B, 2]
         if self.detector == "ml":
             # max-log ML detection (exact for 2 streams) instead of the ZF
             # hard split — decodes dense constellations through channels
@@ -180,10 +182,31 @@ class MimoDataDecoder:
                 dec_es.append(coding.viterbi_decode(
                     me, mod.cr, self.n_bits // n_es))
             bits = jnp.stack(dec_es, axis=-1).reshape(b, -1)
-        return coding.descramble(bits), evm
+        scr = coding.descramble(bits)
+        if mod.fmt == F.VHT:
+            # SIG-B rides the SUM channel over streams (every stream sends
+            # the same SIG-B through the spatial expansion): per-chain sum
+            # channel = LTF1 / ref, MRC-combined across chains
+            # (parity: lib/demod2_impl.cc:664-703 SIG-B demod)
+            from .receiver import decode_vht_sigb, sigb_service_crc_ok
+            safe_ref = jnp.where(ref == 0, 1.0, ref)
+            sum_h = ltf_f[:, :, 0, :] / safe_ref[None, None, :]
+            sb = demod.fft_syms(demod.extract_symbol_windows(
+                yf, ls2 + self.data_offset() - 80 * q, 1,
+                nfft=nfft, gi=gi, shift=sh)).reshape(b, 2, nfft)
+            eq = demod.mrc_combine(sb[:, :, None, :], sum_h)[:, 0]
+            pref = jnp.asarray(tables.PILOT_VHT[mod.bw]
+                               * tables.PILOT_POLARITY[3])
+            acc = jnp.sum(eq[:, pil_bins] * jnp.conj(pref)[None], axis=-1)
+            ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
+            sigb_bits = decode_vht_sigb(eq / ph[:, None], mod.bw)
+            sigb_ok = sigb_service_crc_ok(sigb_bits, scr, mod.bw)
+        else:
+            sigb_ok = jnp.ones(b, dtype=bool)
+        return scr, evm, sigb_ok
 
     def decode(self, x2, ltf_start, cfo, n_valid=None):
-        bits, evm = self._fn(x2, ltf_start, cfo, n_valid)
+        bits, evm, _ = self._fn(x2, ltf_start, cfo, n_valid)
         return np.asarray(bits), np.asarray(evm)
 
     def window_capacity(self) -> int:
@@ -195,8 +218,8 @@ class MimoDataDecoder:
         from .receiver import capture_windows_mimo, pack_bits_le
         w = self.window_capacity()
         x2 = capture_windows_mimo(cap, t_abs, w).astype(jnp.float32) * scale
-        bits, evm = self._decode(x2, ltf_start, cfo, n_valid)
-        return pack_bits_le(bits), evm
+        bits, evm, sigb_ok = self._decode(x2, ltf_start, cfo, n_valid)
+        return pack_bits_le(bits), evm, sigb_ok
 
     def decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
                             n_valid):
@@ -209,6 +232,111 @@ class MimoDataDecoder:
 @lru_cache(maxsize=64)
 def get_mimo_decoder(mod: Mod, n_sym_bucket: int) -> MimoDataDecoder:
     return MimoDataDecoder(mod, n_sym_bucket)
+
+
+class MrcDataDecoder:
+    """Batched single-stream DATA decoder over a MULTI-chain capture.
+
+    Decodes legacy and SISO HT/VHT packets arriving on the dual-antenna
+    receiver with maximal-ratio combining across chains — the envelope the
+    reference's 2-chain RX covers from chain 0 only (DEMOD_S_LEGACY path,
+    lib/demod2_impl.cc:213-276, legacyChanUpdate :761). MRC buys ~3 dB
+    array gain plus diversity against per-chain fades the reference path
+    never had. Same (Mod, nSym-bucket) compilation contract as
+    SisoDataDecoder/MimoDataDecoder.
+    """
+
+    def __init__(self, mod: Mod, n_sym: int):
+        assert mod.nSS == 1
+        self.mod = mod
+        self.n_sym = n_sym
+        self.n_bits = n_sym * mod.nDBPS
+        self.q = tables.NFFT[mod.bw] // 64
+        self._fn = jax.jit(self._decode)
+
+    def data_offset(self) -> int:
+        if self.mod.fmt == F.L:
+            off = OFF_LSIG + 80
+        elif self.mod.fmt == F.HT:
+            off = OFF_NLLTF + 80 * self.mod.nLTF
+        else:
+            off = OFF_NLLTF + 80 * self.mod.nLTF + 80   # VHT: + SIG-B
+        return off * self.q
+
+    def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
+                cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
+        """x2: [B, nRx, N, 2] float32; returns (descrambled bits, evm)."""
+        mod = self.mod
+        q = self.q
+        nfft, gi, sh = 64 * q, 16 * q, 8 * q
+        b, nrx = x2.shape[0], x2.shape[1]
+        x = r2c(x2)                                       # [B, nRx, N]
+        y = x * sync.cfo_ramp(cfo, x.shape[-1])[:, None, :]
+        yf = y.reshape(b * nrx, -1)
+        ls2 = jnp.repeat(ltf_start, nrx)
+        if mod.fmt == F.L:
+            ltf_t = demod.extract_symbol_windows(
+                yf, ls2 - gi, 2, nfft=nfft, gi=gi, shift=sh, stride=nfft)
+            chan = demod.legacy_chan_est(
+                demod.fft_syms(ltf_t), mod.bw).reshape(b, nrx, nfft)
+            pidx0 = 1
+        else:
+            ltf_t = demod.extract_symbol_windows(
+                yf, ls2 + OFF_NLLTF * q, 1, nfft=nfft, gi=gi, shift=sh)
+            chan = demod.nonlegacy_chan_est_siso(
+                demod.fft_syms(ltf_t)[:, 0], mod.bw).reshape(b, nrx, nfft)
+            pidx0 = 3 if mod.fmt == F.HT else 4
+        gd = demod.fft_syms(demod.extract_symbol_windows(
+            yf, ls2 + self.data_offset(), self.n_sym,
+            nfft=nfft, gi=gi, shift=sh)).reshape(b, nrx, self.n_sym, nfft)
+        llrs, evm = demod.demod_data_mrc(gd, chan, mod, self.n_sym, pidx0,
+                                         with_snr=True, n_valid_sym=n_valid)
+        bits = coding.viterbi_decode(llrs, mod.cr, self.n_bits)
+        scr = coding.descramble(bits)
+        if mod.fmt == F.VHT:
+            from .receiver import decode_vht_sigb, sigb_service_crc_ok
+            sb = demod.fft_syms(demod.extract_symbol_windows(
+                yf, ls2 + self.data_offset() - 80 * q, 1,
+                nfft=nfft, gi=gi, shift=sh)).reshape(b, nrx, nfft)
+            eq = demod.mrc_combine(sb[:, :, None, :], chan)[:, 0]
+            pil = jnp.asarray(tables.PILOT_GRID[(mod.bw, False)])
+            pref = jnp.asarray(tables.PILOT_VHT[mod.bw]
+                               * tables.PILOT_POLARITY[3])
+            acc = jnp.sum(eq[:, pil] * jnp.conj(pref)[None], axis=-1)
+            ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
+            sigb_bits = decode_vht_sigb(eq / ph[:, None], mod.bw)
+            sigb_ok = sigb_service_crc_ok(sigb_bits, scr, mod.bw)
+        else:
+            sigb_ok = jnp.ones(b, dtype=bool)
+        return scr, evm, sigb_ok
+
+    def decode(self, x2, ltf_start, cfo, n_valid=None):
+        bits, evm, _ = self._fn(x2, ltf_start, cfo, n_valid)
+        return np.asarray(bits), np.asarray(evm)
+
+    def window_capacity(self) -> int:
+        return (272 * self.q + self.data_offset()
+                + (self.n_sym * 80 + 80) * self.q)
+
+    def _decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
+                             n_valid):
+        from .receiver import capture_windows_mimo, pack_bits_le
+        w = self.window_capacity()
+        x2 = capture_windows_mimo(cap, t_abs, w).astype(jnp.float32) * scale
+        bits, evm, sigb_ok = self._decode(x2, ltf_start, cfo, n_valid)
+        return pack_bits_le(bits), evm, sigb_ok
+
+    def decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
+                            n_valid):
+        """Async dispatch over the device-resident dual-chain capture."""
+        if not hasattr(self, "_fn_cap"):
+            self._fn_cap = jax.jit(self._decode_from_capture)
+        return self._fn_cap(cap, scale, t_abs, ltf_start, cfo, n_valid)
+
+
+@lru_cache(maxsize=64)
+def get_mrc_decoder(mod: Mod, n_sym_bucket: int) -> MrcDataDecoder:
+    return MrcDataDecoder(mod, n_sym_bucket)
 
 
 def merge_triggers(per_chain: List[np.ndarray], dedup_gap: int) -> np.ndarray:
@@ -226,26 +354,15 @@ def merge_triggers(per_chain: List[np.ndarray], dedup_gap: int) -> np.ndarray:
     return np.asarray(merged, dtype=np.int64)
 
 
-class MimoReceiver:
-    """Auto-detecting 2x2 receiver over dual-chain captures [2, N].
+class MimoReceiver(SisoReceiver):
+    """Auto-detecting universal dual-chain receiver over captures [2, N].
 
-    Batched like SisoReceiver: one capture upload, one MRC SIG-parse
+    Batched like SisoReceiver (whose pipelined streaming entry
+    `decode_captures` it inherits): one capture upload, one MRC SIG-parse
     dispatch (packed meta fetch), one decode dispatch per (Mod, bucket)
-    group with bytes fetched back.
+    group — 2x2 plans through the MIMO detector, legacy/SISO plans
+    through the MRC decoder.
     """
-
-    def __init__(self, sample_rate_hz: float = 20e6, stats=None,
-                 ingest: str = "auto"):
-        self.fs = sample_rate_hz
-        self.q = int(round(sample_rate_hz / 20e6))
-        if self.q not in (1, 2, 4):
-            raise ValueError("sample rate must be 20/40/80 MHz")
-        if ingest not in ("auto", "f32", "int8"):
-            raise ValueError("ingest must be 'auto', 'f32' or 'int8'")
-        self.bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[self.q]
-        self.ingest = ingest
-        from ..utils.metrics import DecodeStats
-        self.stats = stats if stats is not None else DecodeStats()
 
     def _upload(self, capture: np.ndarray):
         """See SisoReceiver._upload: auto = f32 below 32 MB, int8 above
@@ -269,18 +386,47 @@ class MimoReceiver:
         buf[:, :n] = capture.view(np.float32).reshape(2, -1, 2)
         return jnp.asarray(buf), jnp.float32(1.0), npad
 
-    def decode_capture(self, capture: np.ndarray) -> List[PacketResult]:
-        from .receiver import (SIGPARSE_WIN, _unpack_meta,
-                               sig_parse_mimo_capture)
-        capture = np.asarray(capture, dtype=np.complex64)
-        assert capture.ndim == 2 and capture.shape[0] == 2
+    def _ingest(self, capture: np.ndarray):
+        """Dual-chain trigger scan + quantize + upload (fused native path).
+
+        On the int8 path each chain runs the native fused STF-scan +
+        peak-track + int8-quantize pass (native/phyrt.cc
+        phyrt_scan_quantize); per-chain triggers are union-merged (the
+        reference's rx2 flowgraph triggers on chain 0 only — triggering
+        on both keeps detection alive through one-chain fades). Per-chain
+        dequant scales ship as a [2, 1, 1] array that broadcasts over the
+        [B, nRx, N, 2] windows in the jit programs.
+        Returns (t0s, cap_dev, scale, npad)."""
+        from .. import native
+        from .receiver import next_pow2
+        capture = np.ascontiguousarray(capture, dtype=np.complex64)
+        n = capture.shape[1]
+        npad = next_pow2(n + 4096, lo=1 << 15)
+        mode = self.ingest
+        if mode == "auto":
+            mode = "int8" if npad > (1 << 19) else "f32"
+        if mode == "int8" and native.available():
+            buf = np.zeros((2, npad, 2), np.int8)
+            per_chain = []
+            scales = np.zeros((2, 1, 1), np.float32)
+            for c in range(2):
+                t_c, s_c = native.scan_quantize(
+                    capture[c], buf[c, :n], thresh=0.5,
+                    plateau=20 * self.q, min_gap=400 * self.q,
+                    lag=16 * self.q)
+                per_chain.append(np.asarray(t_c, np.int64))
+                scales[c] = s_c
+            t0s = merge_triggers(per_chain, dedup_gap=200 * self.q)
+            return t0s, jnp.asarray(buf), jnp.asarray(scales), npad
         t0s = merge_triggers(
             [sync.find_triggers_np(capture[c], q=self.q) for c in range(2)],
             dedup_gap=200 * self.q)
-        results: List[PacketResult] = []
-        if len(t0s) == 0:
-            return results
         cap_dev, scale, npad = self._upload(capture)
+        return t0s, cap_dev, scale, npad
+
+    def _dispatch_sigs(self, cap_dev, scale, npad, t0s):
+        """Submit the batched dual-chain MRC SIG parse (async)."""
+        from .receiver import SIGPARSE_WIN, sig_parse_mimo_capture
         wlen = (SIGPARSE_WIN + 320) * self.q
         bpad = -(-len(t0s) // 32) * 32
         t_clamp = np.zeros(bpad, np.int32)
@@ -291,118 +437,165 @@ class MimoReceiver:
         packed = sig_parse_mimo_capture(cap_dev, scale, jnp.asarray(t_clamp),
                                         jnp.asarray(delta), wlen=wlen,
                                         q=self.q)
-        meta = _unpack_meta(np.asarray(packed))
-        meta["win_start"] = t_clamp
+        return packed, t_clamp
+
+    def _decoder_for(self, mod: Mod, n_sym_bucket: int):
+        return (get_mimo_decoder(mod, n_sym_bucket) if mod.nSS == 2
+                else get_mrc_decoder(mod, n_sym_bucket))
+
+    def _plan_batch(self, cap_len: int, meta, n: int):
+        """Universal dual-chain planning over all n trigger windows.
+
+        Returns (data_plans [(i, _Plan)], ndp_plans [_Plan]); see
+        _plan_one for the envelope and gates."""
+        plans, ndps = [], []
+        for i in range(n):
+            p = self._plan_one(cap_len, meta, i)
+            if p is None:
+                continue
+            if p.ndp:
+                ndps.append(p)
+            else:
+                plans.append((i, p))
+        return plans, ndps
+
+    def decode_capture(self, capture: np.ndarray) -> List[PacketResult]:
+        return self.decode_capture_full(capture)[0]
+
+    def decode_capture_full(self, capture: np.ndarray):
+        """Decode EVERYTHING arriving on the dual-chain capture.
+
+        Universal envelope (beyond the reference's 2-chain RX, which
+        decodes only what its chain-0 L-SIG admits): legacy and SISO
+        HT/VHT packets decode with MRC combining across chains, 2x2
+        HT/VHT packets with the MIMO detector, and VHT NDPs surface as
+        per-chain channel captures — returns (packets, ndps) where ndps
+        is a list of per-NDP lists of NdpCapture (one per RX chain;
+        parity: lib/decode_impl.cc:100-121 type-20 blob).
+        """
+        capture = np.asarray(capture, dtype=np.complex64)
+        assert capture.ndim == 2 and capture.shape[0] == 2
+        results: List[PacketResult] = []
+        ndps: List[list] = []
+        t0s, cap_dev, scale, npad = self._ingest(capture)
+        if len(t0s) == 0:
+            return results, ndps
+        meta = self._parse_sigs(cap_dev, scale, npad, t0s)
         self.stats.n_trigger += len(t0s)
         self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"][:len(t0s)]))
-        plans = []
-        for i in range(len(t0s)):
-            p = self._plan_one(capture.shape[1], meta, i)
-            if p is not None and not p.ndp:
-                plans.append((i, p))
+        plans, ndp_plans = self._plan_batch(capture.shape[1], meta,
+                                            len(t0s))
+        for p in ndp_plans:
+            nd = self._extract_ndp(capture, p)
+            if nd is not None:
+                ndps.append(nd)
         for i, r in self._run_plans(cap_dev, scale, npad, plans):
             self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
             results.append(r)
-        return results
+        return results, ndps
 
-    def _run_plans(self, cap_dev, scale, npad, plans):
-        from .receiver import assemble_psdu, next_pow2
-        groups: dict = {}
-        for i, p in plans:
-            groups.setdefault((p.mod, _bucket(p.n_sym)), []).append((i, p))
-        futs = []
-        for (mod, nb), items in groups.items():
-            dec = get_mimo_decoder(mod, nb)
-            w = dec.window_capacity()
-            g = len(items)
-            gp = next_pow2(g)
-            t_abs = np.zeros(gp, np.int32)
-            ltf = np.zeros(gp, np.int32)
-            cfo = np.zeros(gp, np.float32)
-            nv = np.ones(gp, np.int32)
-            for j, (i, p) in enumerate(items):
-                tc = min(p.win_start, npad - w)
-                t_abs[j] = tc
-                ltf[j] = p.ltf_start + (p.win_start - tc)
-                cfo[j] = p.cfo
-                nv[j] = p.n_sym
-            if gp > g:
-                t_abs[g:] = t_abs[0]
-                ltf[g:] = ltf[0]
-                cfo[g:] = cfo[0]
-                nv[g:] = nv[0]
-            out = dec.decode_from_capture(
-                cap_dev, scale, jnp.asarray(t_abs), jnp.asarray(ltf),
-                jnp.asarray(cfo), jnp.asarray(nv))
-            futs.append((items, out))
-        # overlap all device->host copies (one relay round-trip total;
-        # see SisoReceiver._run_plans)
-        for _, (pb, ev) in futs:
-            pb.copy_to_host_async()
-            ev.copy_to_host_async()
-        collected = []
-        for items, (packed_b, evm) in futs:
-            pb = np.asarray(packed_b)
-            ev = np.asarray(evm)
-            for j, (i, p) in enumerate(items):
-                psdu = pb[j, 2:2 + p.psdu_len].tobytes()
-                collected.append((i, assemble_psdu(
-                    p.mod.fmt, p.mod, psdu, p.ampdu, p.cfo_hz, p.snr,
-                    float(ev[j]))))
-        collected.sort(key=lambda t: t[0])
-        return collected
+    def _extract_ndp(self, capture: np.ndarray, p) -> Optional[list]:
+        """CFO-corrected VHT-LTF windows of a detected NDP, one NdpCapture
+        per RX chain (a 2-antenna STA feeds both into
+        mu.feedback.vht_channel_feedback for a [nSD, 2, nSTS] estimate)."""
+        from ..mu.sounding import NdpCapture
+        n_ltf = p.mod.nLTF
+        start = p.win_start + p.ltf_start
+        out = []
+        for c in range(capture.shape[0]):
+            wins = []
+            for l in range(n_ltf):
+                s = start + (448 + 80 * l + 16 - 8) * self.q
+                seg = capture[c, s:s + 64 * self.q]
+                if len(seg) != 64 * self.q:
+                    return None
+                ramp = np.exp(1j * p.cfo * (np.arange(len(seg)) + s))
+                wins.append((seg * ramp).astype(np.complex64))
+            out.append(NdpCapture(ltf_iq=np.concatenate(wins),
+                                  cfo_rad=p.cfo, snr_db=p.snr))
+        return out
 
     def _plan_one(self, cap_len: int, meta, i):
+        """Universal dual-chain packet planner: legacy + SISO HT/VHT (MRC
+        decode), 2x2 HT/VHT (MIMO decode), VHT NDP (channel capture).
+
+        The reference's 2-chain RX covers the same envelope but decodes
+        legacy/SISO from chain 0 only (lib/demod2_impl.cc:213-276) and
+        hard-drops packets whose chain-0 L-SIG fails
+        (lib/signal2_impl.cc:113-127); here the SIG parse is MRC-combined
+        and L-SIG validity is NOT a hard gate for HT — the HT-SIG carries
+        its own length + CRC-8, so such packets are recoverable.
+        """
         from ..specs.modulation import ppdu_params_nonaggregate
         from .receiver import _Plan, _pick_nl_format
         # sync gate (drops mid-packet re-triggers; parity with the SISO
         # receiver and lib/sync_impl.cc:99's ac>0.5 peak requirement)
         if float(meta["snr"][i]) <= 0.0:
             return None
-        # L-SIG validity is tracked but NOT a hard gate for HT: the HT-SIG
-        # carries its own length + CRC-8, so a packet whose MRC-combined
-        # L-SIG still fails (but whose HT-SIG checks out) is recoverable.
-        # (The reference hard-drops these, lib/signal2_impl.cc:113-127.)
         lsig_data = bool(meta["lsig_ok"][i]) and int(meta["l_mcs"][i]) == 0
         win_start = int(meta["win_start"][i])
         ltf_start = int(meta["ltf_start"][i])
         cfo = float(meta["cfo"][i])
         cfo_hz = cfo * self.fs / (2 * np.pi) * -1.0
         snr = float(meta["snr"][i])
+        l_mcs = int(meta["l_mcs"][i])
         l_len = int(meta["l_len"][i])
-        fmt = _pick_nl_format(meta, i)
+        fmt = _pick_nl_format(meta, i) if (lsig_data or not
+                                           bool(meta["lsig_ok"][i])) else F.L
 
         def extent(mod, n_sym):
             return ltf_start + (448 + 80 * mod.nLTF + 160
                                 + n_sym * 80) * self.q
 
+        def l_extent(mod, n_sym):
+            return ltf_start + (128 + 80 + 80 + n_sym * 80) * self.q
+
         if fmt == F.VHT:
             if not lsig_data:
                 return None          # VHT nSym derives from the L-SIG length
             bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
-            if bw != self.bw or sgi or nsts != 2:
+            if bw != self.bw or sgi or not (1 <= nsts <= 4):
                 return None
-            mod = Mod(F.VHT, mcs, bw, nsts, sgi)
+            mod = Mod(F.VHT, mcs if nsts <= 2 else 0, bw, min(nsts, 2), sgi)
             n_sym_l = int(np.ceil((l_len * 8 + 16 + 6) / 24))
-            n_sym = n_sym_l - 2 - 1 - mod.nLTF - 1
+            n_sym = n_sym_l - 2 - 1 - int(tables.N_LTF[nsts]) - 1
             if n_sym <= 0:
-                return _Plan(mod, 0, 0, False, win_start, ltf_start, cfo,
-                             cfo_hz, snr, ndp=True)
+                # NDP: channel capture (any announced nSTS up to 4)
+                return _Plan(Mod(F.VHT, 0, bw, nsts), 0, 0, False,
+                             win_start, ltf_start, cfo, cfo_hz, snr,
+                             ndp=True)
+            if nsts > 2:
+                return None          # data decode envelope: <=2 streams
             if (win_start + extent(mod, n_sym) > cap_len
                     or n_sym * mod.nDBPS > 33000):
                 return None
             psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
+            if psdu_len > 4095 * (1 if nsts == 1 else 2):
+                return None
             return _Plan(mod, n_sym, psdu_len, True, win_start, ltf_start,
                          cfo, cfo_hz, snr)
         if fmt == F.HT:
             mcs, bw, length, aggre, sgi = parse_ht_sig(meta["ht_bits"][i])
-            if bw != self.bw or sgi or not (8 <= mcs <= 15):
+            if bw != self.bw or sgi or mcs > 15:
                 return None
-            mod = Mod(F.HT, mcs, bw, 2, sgi)
+            nss = mcs // 8 + 1
+            mod = Mod(F.HT, mcs, bw, nss, sgi)
             pp = ppdu_params_nonaggregate(mod, length)
-            if (win_start + extent(mod, pp.n_sym) > cap_len
+            if (pp.n_sym <= 0 or pp.n_sym * mod.nDBPS > 33000
+                    or win_start + extent(mod, pp.n_sym) > cap_len
                     or not (1 <= length <= 4095)):
                 return None
             return _Plan(mod, pp.n_sym, length, aggre, win_start, ltf_start,
                          cfo, cfo_hz, snr)
-        return None
+        # legacy payload (MRC decode; 20 MHz only, as in the SISO receiver)
+        if not bool(meta["lsig_ok"][i]) or self.q != 1:
+            return None
+        if not (14 <= l_len <= 4095):
+            return None
+        mod = Mod(F.L, l_mcs)
+        pp = ppdu_params_nonaggregate(mod, l_len)
+        if (pp.n_sym <= 0 or pp.n_sym * mod.nDBPS > 33000
+                or win_start + l_extent(mod, pp.n_sym) > cap_len):
+            return None
+        return _Plan(mod, pp.n_sym, l_len, False, win_start, ltf_start,
+                     cfo, cfo_hz, snr)

@@ -57,15 +57,47 @@ def _crc8_ok(bits48: jnp.ndarray) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _crc8_matrix():
-    """CRC-8 of 34 bits as affine map over GF(2): out = M^T b + c."""
-    base = np.asarray(crc8_bits([0] * 34), dtype=np.int64)
-    mat = np.zeros((34, 8), dtype=np.int64)
-    for i in range(34):
-        v = [0] * 34
+def _crc8_matrix(n: int = 34):
+    """CRC-8 of n bits as affine map over GF(2): out = M^T b + c."""
+    base = np.asarray(crc8_bits([0] * n), dtype=np.int64)
+    mat = np.zeros((n, 8), dtype=np.int64)
+    for i in range(n):
+        v = [0] * n
         v[i] = 1
         mat[i] = (np.asarray(crc8_bits(v)) + base) % 2
     return mat, base
+
+
+# --- VHT-SIG-B (SU) decode + SERVICE-field CRC-8 verification -------------
+# The reference decodes SIG-B and re-encodes it to measure per-stream SNR
+# (lib/demod_impl.cc:449-505, demod2_impl.cc:664-757) and checks the CRC-8
+# carried in the SERVICE field (signalParserVhtB). Dims per 21.3.8.3.6:
+# pre-tail info bits (len+reserved), total info bits after the bandwidth
+# repetition (the repetition is applied BEFORE BCC, tx/golden.py
+# vhtsigb_bits).
+
+SIGB_DIMS = {BW.BW20: (20, 26), BW.BW40: (21, 54), BW.BW80: (23, 117)}
+
+
+def decode_vht_sigb(eq_sym: jnp.ndarray, bw: BW) -> jnp.ndarray:
+    """Equalized, pilot-corrected SIG-B symbol grid [B, nfft] -> decoded
+    SIG-B info bits [B, n_info]."""
+    sigb_mod = Mod(F.VHT, 0, bw, 1)
+    _, n_info = SIGB_DIMS[bw]
+    llr = jnp.real(eq_sym[..., jnp.asarray(tables.DATA_GRID[(bw, False)])])
+    llr = llr[..., jnp.asarray(ilv.rx_perm(sigb_mod))]
+    return coding.viterbi_decode(llr, CR.CR12, n_info)
+
+
+def sigb_service_crc_ok(sigb_bits: jnp.ndarray, scr_bits: jnp.ndarray,
+                        bw: BW) -> jnp.ndarray:
+    """CRC-8 of the decoded SIG-B pre-tail bits == SERVICE bits 8..15
+    (parity: signalParserVhtB / vhtSigBDemod re-encode check). [B] bool."""
+    n_pre, _ = SIGB_DIMS[bw]
+    mat, const = _crc8_matrix(n_pre)
+    calc = (sigb_bits[..., :n_pre].astype(jnp.int32) @ jnp.asarray(mat)
+            + jnp.asarray(const)) % 2
+    return jnp.all(calc == scr_bits[..., 8:16].astype(jnp.int32), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -424,7 +456,11 @@ class PacketResult:
     mpdus: List[bytes]
     cfo_hz: float
     snr_db: float
-    evm_snr_db: float = 0.0   # per-stream EVM SNR (reference sssnr analog)
+    evm_snr_db: float = 0.0   # EVM SNR (joint over streams)
+    sssnr: tuple = ()         # per-stream EVM SNRs (reference sssnr0/1,
+                              # lib/demod2_impl.cc:736-757)
+    sigb_ok: Optional[bool] = None  # VHT-SIG-B CRC-8 vs SERVICE field
+                                    # (None for non-VHT formats)
 
 
 class SisoDataDecoder:
@@ -460,11 +496,13 @@ class SisoDataDecoder:
     def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
                 cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
         """x2: [B, N, 2] float32 raw windows; ltf_start, cfo: [B];
-        n_valid: optional [B] int32 true symbol counts (<= self.n_sym)."""
+        n_valid: optional [B] int32 true symbol counts (<= self.n_sym).
+        Returns (descrambled bits, evm_snr_db, sigb_ok)."""
         from ..utils.riq import r2c
         mod = self.mod
         q = self.q
         nfft, gi, sh = 64 * q, 16 * q, 8 * q
+        b = x2.shape[0]
         y = sync.apply_cfo_correction(r2c(x2), cfo)
         if mod.fmt == F.L:
             ltf_t = demod.extract_symbol_windows(y, ltf_start - 16, 2,
@@ -486,12 +524,27 @@ class SisoDataDecoder:
                                           n_valid_sym=n_valid)
         bits = coding.viterbi_decode(llrs, mod.cr, self.n_bits)
         scr = coding.descramble(bits)
-        return scr, evm
+        if mod.fmt == F.VHT:
+            # VHT-SIG-B decode + SERVICE CRC-8 check (demod_impl.cc:449-505)
+            sb = demod.fft_syms(demod.extract_symbol_windows(
+                y, ltf_start + self.data_offset() - 80 * q, 1,
+                nfft=nfft, gi=gi, shift=sh))[:, 0]
+            eq = sb / chan
+            pil = jnp.asarray(tables.PILOT_GRID[(mod.bw, False)])
+            pref = jnp.asarray(tables.PILOT_VHT[mod.bw]
+                               * tables.PILOT_POLARITY[3])
+            acc = jnp.sum(eq[:, pil] * jnp.conj(pref)[None], axis=-1)
+            ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
+            sigb_bits = decode_vht_sigb(eq / ph[:, None], mod.bw)
+            sigb_ok = sigb_service_crc_ok(sigb_bits, scr, mod.bw)
+        else:
+            sigb_ok = jnp.ones(b, dtype=bool)
+        return scr, evm, sigb_ok
 
     def decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
                cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
         """Returns (descrambled bits [B, n_bits], evm_snr_db [B])."""
-        bits, evm = self._fn(x2, ltf_start, cfo, n_valid)
+        bits, evm, _ = self._fn(x2, ltf_start, cfo, n_valid)
         return np.asarray(bits), np.asarray(evm)
 
     def window_capacity(self) -> int:
@@ -503,12 +556,12 @@ class SisoDataDecoder:
     def _decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
                              n_valid):
         """Batched decode with windows gathered from the device-resident
-        capture; returns (packed descrambled bytes [G, n_bits/8], evm [G])
-        so the device->host fetch is bytes, not bit-planes."""
+        capture; returns (packed descrambled bytes [G, n_bits/8], evm [G],
+        sigb_ok [G]) so the device->host fetch is bytes, not bit-planes."""
         w = self.window_capacity()
         x2 = capture_windows(cap, t_abs, w).astype(jnp.float32) * scale
-        bits, evm = self._decode(x2, ltf_start, cfo, n_valid)
-        return pack_bits_le(bits), evm
+        bits, evm, sigb_ok = self._decode(x2, ltf_start, cfo, n_valid)
+        return pack_bits_le(bits), evm, sigb_ok
 
     def decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
                             n_valid):
@@ -543,7 +596,8 @@ def assemble_packet(fmt: F, mod: Mod, psdu_len: int, scr_bits: np.ndarray,
 
 def assemble_psdu(fmt: F, mod: Mod, psdu: bytes, ampdu: bool,
                   cfo_hz: float = 0.0, snr_db: float = 0.0,
-                  evm_snr_db: float = 0.0) -> PacketResult:
+                  evm_snr_db: float = 0.0, sssnr: tuple = (),
+                  sigb_ok=None) -> PacketResult:
     """FCS / A-MPDU deaggregation from already-packed PSDU bytes
     (parity: lib/decode_impl.cc:325-427 packetAssemble)."""
     if fmt == F.VHT:
@@ -557,7 +611,9 @@ def assemble_psdu(fmt: F, mod: Mod, psdu: bytes, ampdu: bool,
         mpdus = [psdu] if ok else []
     return PacketResult(fmt=fmt, mcs=mod.mcs, psdu=psdu, fcs_ok=ok,
                         mpdus=mpdus, cfo_hz=cfo_hz, snr_db=snr_db,
-                        evm_snr_db=evm_snr_db)
+                        evm_snr_db=evm_snr_db,
+                        sssnr=sssnr if sssnr else (evm_snr_db,),
+                        sigb_ok=sigb_ok)
 
 
 # ---------------------------------------------------------------------------
@@ -618,7 +674,12 @@ class SisoReceiver:
         deliver 8-12 bit I/Q to begin with) — and int8 both rides the fast
         relay upload path (the link drops from ~1.6 GB/s to ~160 MB/s past
         ~48 MB per transfer) and enables the fused native
-        scan-and-quantize ingest pass (_ingest)."""
+        scan-and-quantize ingest pass (_ingest).
+
+        Caveat of the peak normalization: a single strong impulse in a
+        capture compresses everything else's dynamic range (e.g. one
+        +30 dB spike costs the rest 5 effective bits). If the front-end
+        does not already AGC-limit impulses, pass ingest="f32"."""
         capture = np.ascontiguousarray(capture, dtype=np.complex64)
         n = len(capture)
         npad = next_pow2(n + 4096, lo=1 << 15)
@@ -729,28 +790,37 @@ class SisoReceiver:
             meta = self._finish_sigs(packed, t_clamp)
             self.stats.n_trigger += len(t0s)
             self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"][:len(t0s)]))
-            plans, _ = self._plan_batch(len(caps[k]), meta, len(t0s))
+            plans, _ = self._plan_batch(caps[k].shape[-1], meta, len(t0s))
             return self._dispatch_plans(cap_dev, scale, npad, plans)
 
         # The ingest pass (native scan+quantize, releases the GIL) runs on
         # a worker thread one capture ahead, while the main thread plans
         # and dispatches the PREVIOUS capture — so host sweeps, device
         # compute and relay transfers all overlap (software pipeline,
-        # depth 1).
+        # depth 1). Run-ahead is BOUNDED: ingest k+1 is submitted only
+        # once k has been consumed, and st2[k] is dropped as soon as
+        # phase2(k) has dispatched its DATA programs — so device and host
+        # buffers are freed as the stream advances instead of growing
+        # linearly with its length (continuous-streaming safety).
         ex = ThreadPoolExecutor(max_workers=1)
         try:
-            ing = [ex.submit(self._ingest, cap) for cap in caps]
+            fut = ex.submit(self._ingest, caps[0]) if n else None
             for k in range(n):
-                t0s, cap_dev, scale, npad = ing[k].result()
+                t0s, cap_dev, scale, npad = fut.result()
+                fut = ex.submit(self._ingest, caps[k + 1]) \
+                    if k + 1 < n else None
                 if len(t0s) > 0:
                     packed, t_clamp = self._dispatch_sigs(
                         cap_dev, scale, npad, t0s)
                     packed.copy_to_host_async()
                     st2[k] = (t0s, cap_dev, scale, npad, packed, t_clamp)
+                del cap_dev
                 if k >= 1:
                     st3[k - 1] = phase2(k - 1)
+                    st2[k - 1] = None
             if n:
                 st3[n - 1] = phase2(n - 1)
+                st2[n - 1] = None
         finally:
             ex.shutdown(wait=False)
         out: List[List[PacketResult]] = []
@@ -814,6 +884,12 @@ class SisoReceiver:
         return self._finish_sigs(*self._dispatch_sigs(cap_dev, scale, npad,
                                                       t0s))
 
+    def _decoder_for(self, mod: Mod, n_sym_bucket: int):
+        """Decoder factory hook (the dual-chain receiver overrides it to
+        route nSS==2 plans to the MIMO detector and nSS==1/legacy plans to
+        the MRC decoder)."""
+        return get_data_decoder(mod, n_sym_bucket)
+
     def _dispatch_plans(self, cap_dev, scale, npad, plans):
         """Group plans by (Mod, bucket) and submit one jit program per
         group (async). Returns futs for _finish_plans."""
@@ -822,7 +898,7 @@ class SisoReceiver:
             groups.setdefault((p.mod, _bucket(p.n_sym)), []).append((i, p))
         futs = []
         for (mod, nb), items in groups.items():
-            dec = get_data_decoder(mod, nb)
+            dec = self._decoder_for(mod, nb)
             w = dec.window_capacity()
             g = len(items)
             gp = next_pow2(g)
@@ -848,22 +924,25 @@ class SisoReceiver:
         # start ALL device->host copies before blocking on any: the relay
         # round-trip (~30 ms) is paid once for the whole capture instead of
         # once per group fetch (measured 8x16KB: 27 ms overlapped)
-        for _, (pb, ev) in futs:
-            pb.copy_to_host_async()
-            ev.copy_to_host_async()
+        for _, out in futs:
+            for arr in out:
+                arr.copy_to_host_async()
         return futs
 
     @staticmethod
     def _finish_plans(futs):
         collected = []
-        for items, (packed_b, evm) in futs:
+        for items, (packed_b, evm, sigb) in futs:
             pb = np.asarray(packed_b)
             ev = np.asarray(evm)
+            sb = np.asarray(sigb)
             for j, (i, p) in enumerate(items):
                 psdu = pb[j, 2:2 + p.psdu_len].tobytes()
+                ev_j = np.atleast_1d(ev[j])
                 collected.append((i, assemble_psdu(
                     p.mod.fmt, p.mod, psdu, p.ampdu, p.cfo_hz, p.snr,
-                    float(ev[j]))))
+                    float(np.mean(ev_j)), sssnr=tuple(float(v) for v in ev_j),
+                    sigb_ok=(bool(sb[j]) if p.mod.fmt == F.VHT else None))))
         collected.sort(key=lambda t: t[0])
         return collected
 

@@ -80,6 +80,46 @@ def test_mu_mimo_closed_loop(compressed):
         assert res[0].mpdus[0] == want
 
 
+def test_mu_mimo_4user_closed_loop():
+    """4-user MU-MIMO sounding loop: a 4-antenna AP sounds four 1-antenna
+    STAs, computes a 4x4 ZF Q and sends a 4-user MU PPDU with per-user
+    MCS; every STA recovers exactly its own MPDU (reference genAmpduMu
+    supports <=4 users, tools/phy80211.py:183)."""
+    rng = np.random.default_rng(77)
+    h = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+    h += 2.5 * np.eye(4)               # well-conditioned
+
+    # sounding: 4-stream NDP
+    ndp = gen_ampdu(b"", Mod(F.VHT, 0, BW.BW20, 4))
+    cap = finalize(ndp.waveform, multiplier=0.3, cfo_hz=4000.0, gap=True,
+                   gap_len=1200)
+    v_users = []
+    for u in range(4):
+        rx = _apply(h[u], cap, seed=u)
+        nc = sta_capture_ndp(rx, n_sts=4)
+        assert nc is not None, f"STA{u} failed to capture the 4-STS NDP"
+        ltf_sym = ndp_ltf_channel(nc.ltf_iq, n_sts=4)
+        v_users.append(vht_channel_feedback(ltf_sym, BW.BW20, n_sts=4,
+                                            n_rx=1))
+    q = map_q_to_grid(zf_q(v_users))
+
+    payloads = [build_udp_mpdu(f"packet for STA {u} {'x' * (10 + 7 * u)}"
+                               .encode(), MAC_CFG_QOS) for u in range(4)]
+    ampdus = [aggregate_vht([p]) for p in payloads]
+    mcss = [0, 1, 2, 0]                # per-user MCS
+    tx = gen_ampdu_mu(ampdus, [Mod(F.VHT, m, BW.BW20, 1) for m in mcss],
+                      bfq=q, group_id=5)
+    cap = finalize(tx.waveform, multiplier=0.3, cfo_hz=-3000.0, gap=True,
+                   gap_len=1200)
+
+    for u in range(4):
+        rx = _apply(h[u], cap, seed=20 + u)
+        res = sta_decode_mu(rx, mupos=u)
+        assert len(res) == 1, f"STA{u} decoded {len(res)} packets"
+        assert res[0].fcs_ok and res[0].mcs == mcss[u]
+        assert res[0].mpdus[0] == payloads[u], f"STA{u} wrong MPDU"
+
+
 def test_feedback_matches_reference():
     """SVD feedback numerically equal to the reference implementation."""
     import sys
