@@ -205,7 +205,7 @@ def sharded_capture_decode(mesh, mod: Mod, n_sym: int, window_len: int,
 # one XLA program over the mesh)
 # ---------------------------------------------------------------------------
 
-# nDBPS lookup tables for the in-graph planner (SISO 20 MHz envelope)
+# nDBPS lookup tables for the in-graph planner (20 MHz envelope)
 _NDBPS_L = np.array([24, 36, 48, 72, 96, 144, 192, 216], np.int32)
 _NDBPS_HT = np.array([26, 52, 78, 104, 156, 208, 234, 260], np.int32)
 _NDBPS_VHT = np.array([26, 52, 78, 104, 156, 208, 234, 260, 312, 1],
@@ -285,6 +285,74 @@ def _auto_plan(meta: dict) -> dict:
     return dict(fmt=fmt.astype(jnp.int32), mcs=mcs.astype(jnp.int32),
                 n_sym=n_sym.astype(jnp.int32),
                 psdu_len=psdu_len.astype(jnp.int32), ampdu=ht_aggre)
+
+
+def _auto_plan2(meta: dict) -> dict:
+    """_auto_plan extended to the DUAL-CHAIN envelope: adds nSS (1 or 2)
+    and an NDP flag (VHT whose spoofed-length symbol budget is <= 0,
+    lib/decode_impl.cc:100-121). 20 MHz; HT MCS 0-15, VHT nSTS 1-2."""
+    lsig_ok = meta["lsig_ok"]
+    snr_ok = meta["snr"] > 0.0
+    l_mcs = meta["l_mcs"].astype(jnp.int32)
+    l_len = meta["l_len"].astype(jnp.int32)
+    ht_ok = meta["ht_ok"]
+    vht_ok = meta["vht_ok"]
+    imag_dom = meta["nl1_imag_dom"]
+
+    nl = lsig_ok & (l_mcs == 0)
+    pick_vht = nl & vht_ok & (~imag_dom | ~ht_ok)
+    pick_ht = nl & ht_ok & ~pick_vht
+    pick_l = lsig_ok & ~pick_vht & ~pick_ht
+
+    ndl = jnp.asarray(_NDBPS_L)[jnp.clip(l_mcs, 0, 7)]
+    l_n_sym = (8 * l_len + 22 + ndl - 1) // ndl
+    l_valid = pick_l & (l_len >= 14) & (l_len <= 4095)
+
+    hb = meta["ht_bits"]
+    ht_mcs = _bits_val(hb, 0, 7)
+    ht_bw40 = hb[:, 7].astype(bool)
+    ht_len = _bits_val(hb, 8, 16)
+    ht_aggre = hb[:, 27].astype(bool)
+    ht_sgi = hb[:, 31].astype(bool)
+    ht_nss = ht_mcs // 8 + 1
+    ndh = jnp.asarray(_NDBPS_HT)[jnp.clip(ht_mcs % 8, 0, 7)] * ht_nss
+    ht_n_sym = (8 * ht_len + 22 + ndh - 1) // ndh
+    ht_valid = pick_ht & (ht_mcs <= 15) & ~ht_bw40 & ~ht_sgi \
+        & (ht_len >= 1) & (ht_len <= 4095)
+
+    vb = meta["vht_bits"]
+    vht_bw = _bits_val(vb, 0, 2)
+    vht_nsts = _bits_val(vb, 10, 3) + 1
+    vht_sgi = vb[:, 24].astype(bool)
+    vht_mcs = _bits_val(vb, 28, 4)
+    n_sym_l = (l_len * 8 + 22 + 23) // 24
+    v_nltf = jnp.where(vht_nsts > 1, 2, 1)
+    # nSTS > 2 only relevant for NDPs (data envelope is <= 2 streams)
+    v_nltf = jnp.where(vht_nsts > 2, 4, v_nltf)
+    vht_n_sym = n_sym_l - 2 - 1 - v_nltf - 1
+    vndbps = jnp.asarray(_NDBPS_VHT)[jnp.clip(vht_mcs, 0, 9)] * \
+        jnp.minimum(vht_nsts, 2)
+    vht_psdu = (vht_n_sym * vndbps - 16 - 6) // 8
+    vht_fields_ok = pick_vht & (vht_bw == 0) & ~vht_sgi
+    ndp = vht_fields_ok & (vht_nsts >= 1) & (vht_n_sym <= 0)
+    vht_valid = vht_fields_ok & (vht_nsts <= 2) & (vht_mcs <= 8) \
+        & (vht_n_sym >= 1) & (vht_psdu >= 1) & (vht_psdu <= 4095)
+
+    fmt = jnp.where(vht_valid, 2, jnp.where(ht_valid, 1,
+                    jnp.where(l_valid, 0, -1)))
+    mcs = jnp.where(vht_valid, vht_mcs, jnp.where(ht_valid, ht_mcs, l_mcs))
+    nss = jnp.where(vht_valid, jnp.minimum(vht_nsts, 2),
+                    jnp.where(ht_valid, ht_nss, 1))
+    n_sym = jnp.where(vht_valid, vht_n_sym,
+                      jnp.where(ht_valid, ht_n_sym, l_n_sym))
+    psdu_len = jnp.where(vht_valid, vht_psdu,
+                         jnp.where(ht_valid, ht_len, l_len))
+    valid = (l_valid | ht_valid | vht_valid) & snr_ok
+    fmt = jnp.where(valid, fmt, -1)
+    return dict(fmt=fmt.astype(jnp.int32), mcs=mcs.astype(jnp.int32),
+                nss=nss.astype(jnp.int32), n_sym=n_sym.astype(jnp.int32),
+                psdu_len=psdu_len.astype(jnp.int32), ampdu=ht_aggre,
+                ndp=ndp & snr_ok)
 
 
 _FMT_CODE = {F.L: 0, F.HT: 1, F.VHT: 2}
@@ -376,6 +444,11 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
             wins_all, order[:, :, None, None], axis=1)
         val_all = jnp.take_along_axis(val_all, order, axis=1)
         tg_all = jnp.take_along_axis(tg_all, order, axis=1)
+        # cross-shard trigger dedup (see sharded_capture_decode_auto2)
+        prev_t = jnp.concatenate(
+            [jnp.full_like(tg_all[:, :1], -(1 << 30)), tg_all[:, :-1]],
+            axis=1)
+        val_all = val_all & (tg_all - prev_t >= 400)
 
         mine = jnp.take(wins_all.reshape(b, k_per_shard, n_sp, w, 2),
                         idx, axis=2)
@@ -425,6 +498,186 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
         return dict(bits=bits, trig_t=trig_t, ok=ok, fmt=fmt, mcs=mcs,
                     n_sym=n_sym, psdu_len=psdu_len, ampdu=ampdu,
                     overflow=overflow)
+
+    return run
+
+
+def sharded_capture_decode_auto2(mesh, branches, window_len: int,
+                                 k_per_shard: int = 4,
+                                 branch_cap: int = None):
+    """DUAL-CHAIN mixed-format sharded capture decode with in-graph
+    auto-detection — the one-program mesh analog of the reference's rx2
+    flowgraph (examples/rx2.grc): SISO packets decode with MRC combining
+    across both chains, 2x2 packets with the MIMO detector, and VHT NDPs
+    emit their CFO-corrected LTF windows in-graph.
+
+    branches: static tuple of (Mod, n_sym_cap) with mod.nSS in {1, 2}.
+
+    branch_cap: optional per-branch window capacity K. Without it every
+    branch decodes ALL windows and outputs are one-hot selected (cost x
+    len(branches) — fine at 3 branches, prohibitive at the 42-config MCS
+    matrix). With it, each branch gathers at most K windows whose planned
+    (fmt, mcs, nSS) matches (stable in-graph sort on the branch id), so
+    the decode cost is sum_j K_j x cost_j ~ n_win x cost instead of
+    n_win x sum_j cost_j; `branch_overflow[j]` flags truncation (the
+    same fixed-capacity contract as the trigger itself).
+
+    Returns run(capture[B, nRx, T, 2]; B over dp, T over sp) -> dict:
+      bits [B, n_win, max_bits], trig_t, ok, fmt, mcs, nss, n_sym,
+      psdu_len, ampdu [B, n_win]; ndp [B, n_win] flag + ndp_ltf
+      [B, n_win, nRx, 160, 2] CFO-corrected VHT-LTF windows;
+      overflow [B]; branch_overflow [B, n_branches].
+    """
+    from ..rx.mimo import MimoDataDecoder, MrcDataDecoder
+    from ..rx.receiver import OFF_NLLTF, sig_parse_mimo
+
+    branches = tuple(branches)
+    decs = [(MimoDataDecoder(m, cap) if m.nSS == 2
+             else MrcDataDecoder(m, cap)) for m, cap in branches]
+    for (m, cap), dec in zip(branches, decs):
+        need = 272 + dec.data_offset() + (cap * 80 + 80)
+        assert window_len >= need, (
+            f"window_len {window_len} < {need} required by branch "
+            f"({m.fmt.name} mcs{m.mcs} nSS{m.nSS}, {cap} sym)")
+    n_bits_max = max(cap * m.nDBPS for m, cap in branches)
+    n_sp = mesh.shape["sp"]
+    w = window_len
+    n_br = len(branches)
+    cap_shard = NamedSharding(mesh, P("dp", None, "sp", None))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("dp", None, "sp", None),
+             out_specs=(P("dp", None, None),) + (P("dp", None),) * 9
+             + (P("dp", None, None, None, None), P("dp"), P("dp", None)),
+             check_vma=False)
+    def local(xb2):
+        from ..utils.riq import r2c
+        b, nrx, tl, _ = xb2.shape
+        idx = jax.lax.axis_index("sp")
+        perm = [(i, (i - 1) % n_sp) for i in range(n_sp)]
+        halo = jax.lax.ppermute(xb2[:, :, :w], "sp", perm)
+        ext = jnp.concatenate([xb2, halo], axis=2)      # [B, nRx, Tl+w, 2]
+        # trigger on the max of per-chain autocorrelations: detection
+        # survives one chain's fade (beyond rx2.grc's chain-0 trigger)
+        ac = sync.stf_autocorr(r2c(ext.reshape(b * nrx, tl + w, 2)))
+        ac = jnp.max(ac.reshape(b, nrx, -1), axis=1)
+        tail = (jnp.arange(ac.shape[1]) >= tl) & (idx == n_sp - 1)
+        ac = jnp.where(tail[None, :], 0.0, ac)
+        t_ext = _local_triggers(ac[:, :tl], k_per_shard + 1)
+        t_loc = t_ext[:, :k_per_shard]
+        overflow = t_ext[:, k_per_shard] < tl
+        valid = t_loc < tl
+        t_safe = jnp.minimum(t_loc, tl)
+        wins = jax.vmap(                         # [B, k, nRx, w, 2]
+            lambda row, ts: jax.vmap(
+                lambda t: jax.lax.dynamic_slice(
+                    row, (0, t, 0), (nrx, w, 2)))(ts))(ext, t_safe)
+        t_glob = jnp.where(valid, t_loc + idx * tl, n_sp * tl)
+
+        wins_all = jax.lax.all_gather(wins, "sp")
+        val_all = jax.lax.all_gather(valid, "sp")
+        tg_all = jax.lax.all_gather(t_glob, "sp")
+        ov_all = jnp.any(jax.lax.all_gather(overflow, "sp"), axis=0)
+        wins_all = jnp.moveaxis(wins_all, 0, 1).reshape(
+            b, n_sp * k_per_shard, nrx, w, 2)
+        val_all = jnp.moveaxis(val_all, 0, 1).reshape(b, -1)
+        tg_all = jnp.moveaxis(tg_all, 0, 1).reshape(b, -1)
+        order = jnp.argsort(tg_all, axis=1)
+        wins_all = jnp.take_along_axis(
+            wins_all, order[:, :, None, None, None], axis=1)
+        val_all = jnp.take_along_axis(val_all, order, axis=1)
+        tg_all = jnp.take_along_axis(tg_all, order, axis=1)
+        # cross-shard trigger dedup: an STF straddling a shard edge fires
+        # in BOTH shards (per-shard min_gap suppression cannot see across
+        # the boundary); after the global time-sort, drop any window
+        # within min_gap of its predecessor
+        prev_t = jnp.concatenate(
+            [jnp.full_like(tg_all[:, :1], -(1 << 30)), tg_all[:, :-1]],
+            axis=1)
+        val_all = val_all & (tg_all - prev_t >= 400)
+
+        mine = jnp.take(wins_all.reshape(b, k_per_shard, n_sp, nrx, w, 2),
+                        idx, axis=2)
+        n_loc = b * k_per_shard
+        xw = mine.reshape(n_loc, nrx, w, 2)
+        t0 = jnp.zeros(n_loc, jnp.int32)
+
+        meta = sig_parse_mimo(xw, t0)
+        plan = _auto_plan2(meta)
+        ltf_start = meta["ltf_start"].astype(jnp.int32)
+        cfo = meta["cfo"]
+
+        bid = jnp.full(n_loc, -1, jnp.int32)
+        for j, (m, capj) in enumerate(branches):
+            match = (plan["fmt"] == _FMT_CODE[m.fmt]) \
+                & (plan["mcs"] == m.mcs) & (plan["nss"] == m.nSS) \
+                & (plan["n_sym"] <= capj) & ~plan["ndp"]
+            bid = jnp.where((bid < 0) & match, j, bid)
+
+        nv_all = jnp.clip(plan["n_sym"], 1, None)
+        bits = jnp.zeros((n_loc, n_bits_max), jnp.int32)
+        br_ov = []
+        widx = jnp.arange(n_loc, dtype=jnp.int32)
+        for j, dec in enumerate(decs):
+            if branch_cap is None:
+                oj, _, _ = dec._decode(
+                    xw, ltf_start, cfo,
+                    jnp.minimum(nv_all, branches[j][1]))
+                bj = oj.astype(jnp.int32)
+                if bj.shape[1] < n_bits_max:
+                    bj = jnp.pad(bj,
+                                 ((0, 0), (0, n_bits_max - bj.shape[1])))
+                bits = jnp.where((bid == j)[:, None], bj, bits)
+                br_ov.append(jnp.zeros((), bool))
+            else:
+                kj = min(branch_cap, n_loc)
+                # stable gather: windows with bid==j first, in time order
+                key = jnp.where(bid == j, widx, n_loc + widx)
+                sel = jnp.argsort(key)[:kj]
+                oj, _, _ = dec._decode(
+                    xw[sel], ltf_start[sel], cfo[sel],
+                    jnp.minimum(nv_all[sel], branches[j][1]))
+                bj = oj.astype(jnp.int32)
+                if bj.shape[1] < n_bits_max:
+                    bj = jnp.pad(bj,
+                                 ((0, 0), (0, n_bits_max - bj.shape[1])))
+                mask = (bid[sel] == j)[:, None]
+                # rows belong to <= 1 branch and start at zero -> add
+                bits = bits.at[sel].add(jnp.where(mask, bj, 0))
+                br_ov.append(jnp.sum(bid == j) > kj)
+        branch_overflow = jnp.stack(br_ov)[None, :].repeat(b, 0)
+        ok = bid >= 0
+
+        # NDP LTF windows (cheap static-size slice, masked by the flag):
+        # 2 VHT-LTF symbols per chain, CFO-corrected (decode_impl type-20)
+        xs = r2c(xw)                             # [n_loc, nRx, w]
+        ys = xs * sync.cfo_ramp(cfo, w)[:, None, :]
+        ndp_win = jax.vmap(lambda row, s: jax.lax.dynamic_slice(
+            row, (0, s), (nrx, 160)))(ys, ltf_start + OFF_NLLTF)
+        ndp_ltf = jnp.stack([jnp.real(ndp_win), jnp.imag(ndp_win)],
+                            axis=-1)             # [n_loc, nRx, 160, 2]
+
+        def regroup(a, dims):
+            g = jax.lax.all_gather(a, "sp")
+            g = g.reshape((n_sp, b, k_per_shard) + dims)
+            return jnp.moveaxis(g, 0, 2).reshape(
+                (b, n_sp * k_per_shard) + dims)
+
+        return (regroup(bits, (n_bits_max,)), tg_all,
+                regroup(ok, ()) & val_all, regroup(plan["fmt"], ()),
+                regroup(plan["mcs"], ()), regroup(plan["nss"], ()),
+                regroup(plan["n_sym"], ()), regroup(plan["psdu_len"], ()),
+                regroup(plan["ampdu"], ()),
+                regroup(plan["ndp"], ()) & val_all,
+                regroup(ndp_ltf, (nrx, 160, 2)), ov_all, branch_overflow)
+
+    @partial(jax.jit, in_shardings=(cap_shard,))
+    def run(capture):
+        (bits, trig_t, ok, fmt, mcs, nss, n_sym, psdu_len, ampdu, ndp,
+         ndp_ltf, overflow, br_ov) = local(capture)
+        return dict(bits=bits, trig_t=trig_t, ok=ok, fmt=fmt, mcs=mcs,
+                    nss=nss, n_sym=n_sym, psdu_len=psdu_len, ampdu=ampdu,
+                    ndp=ndp, ndp_ltf=ndp_ltf, overflow=overflow,
+                    branch_overflow=br_ov)
 
     return run
 
