@@ -223,6 +223,64 @@ def apply_cfo_correction(x: jnp.ndarray, cfo_rad: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# capture-level trigger ON DEVICE (the host scan is the dominant host cost
+# of the streaming receiver at ~55 ms per 4M-sample capture; the same
+# O(N) sliding correlation is embarrassingly parallel on the TPU)
+# ---------------------------------------------------------------------------
+
+
+def _movsum_i32(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Exact integer moving sum via int32 cumsum-difference (an f32 cumsum
+    over multi-million-sample captures has ulp ~1 at 2^23 — enough to
+    corrupt a plateau count)."""
+    c = jnp.cumsum(x.astype(jnp.int32))
+    c = jnp.concatenate([jnp.zeros(1, jnp.int32), c])
+    return c[w:] - c[:-w]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("k_max", "q", "plateau", "min_gap",
+                                    "thresh"))
+def trigger_scan_capture(cap: jnp.ndarray, scale: jnp.ndarray,
+                         k_max: int = 4096, q: int = 1,
+                         thresh: float = 0.5, plateau: int = 20,
+                         min_gap: int = 400):
+    """STF trigger scan of a whole device-resident capture, in-graph.
+
+    cap: [Npad, 2] int8/float32 I/Q (the decode upload, reused); scale:
+    dequant scale. Returns (t0s [k_max] int32 ascending — Npad sentinel
+    for empty slots — and n_trig [] int32, which may exceed k_max when
+    the capacity was hit).
+
+    Same plateau/rising-edge semantics as the host/native scan
+    (lib/trigger_impl.cc:75-110, native/phyrt.cc); the sequential
+    min_gap suppression is replaced by a windowed form (a rise is kept
+    iff NO other rise occurred in the preceding min_gap samples) — it
+    differs from the sequential scan only for >=3 rises within 2 gaps,
+    which real STF trains do not produce.
+    """
+    from ..utils.riq import r2c
+    x = r2c(cap.astype(jnp.float32) * scale)
+    n = x.shape[0]
+    lag = 16 * q
+    plateau, min_gap = plateau * q, min_gap * q
+    ac = stf_autocorr(x[None], lag=lag, win=lag)[0]
+    above = ac > thresh
+    cnt = _movsum_i32(above, plateau)
+    runp = cnt == plateau
+    prev = jnp.concatenate([jnp.zeros(1, bool),
+                            above[:-1]])[:runp.shape[0]]
+    rise = runp & ~prev
+    prior = _movsum_i32(
+        jnp.concatenate([jnp.zeros(min_gap, bool), rise]), min_gap)
+    keep = rise & (prior[:rise.shape[0]] == 0)
+    (idx,) = jnp.nonzero(keep, size=k_max, fill_value=n)
+    return idx.astype(jnp.int32), jnp.sum(keep.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
 # capture-level trigger (host-side helper, vectorized numpy)
 # ---------------------------------------------------------------------------
 

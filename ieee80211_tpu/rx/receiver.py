@@ -651,15 +651,18 @@ class SisoReceiver:
     """
 
     def __init__(self, sample_rate_hz: float = 20e6, stats=None,
-                 ingest: str = "auto"):
+                 ingest: str = "auto", trigger: str = "host"):
         self.fs = sample_rate_hz
         self.q = int(round(sample_rate_hz / 20e6))
         if self.q not in (1, 2, 4):
             raise ValueError("sample rate must be 20/40/80 MHz")
         if ingest not in ("auto", "f32", "int8"):
             raise ValueError("ingest must be 'auto', 'f32' or 'int8'")
+        if trigger not in ("host", "device"):
+            raise ValueError("trigger must be 'host' or 'device'")
         self.bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[self.q]
         self.ingest = ingest
+        self.trigger = trigger
         from ..utils.metrics import DecodeStats
         self.stats = stats if stats is not None else DecodeStats()
 
@@ -712,6 +715,7 @@ class SisoReceiver:
         before SIG parsing so the transfer overlaps host planning.
         Returns (t0s, cap_dev, scale, npad)."""
         from .. import native
+        capture = np.ascontiguousarray(capture, dtype=np.complex64)
         n = len(capture)
         npad = next_pow2(n + 4096, lo=1 << 15)
         mode = self.ingest
@@ -728,6 +732,111 @@ class SisoReceiver:
                          dtype=np.int64)
         cap_dev, scale, npad = self._upload(capture)
         return t0s, cap_dev, scale, npad
+
+    def _ingest_device(self, capture: np.ndarray, k_max: int = 4096):
+        """Quantize + upload + dispatch the IN-GRAPH trigger scan (async).
+
+        The host's only pass over the samples is the (vectorizable) int8
+        quantization; the O(N) sliding-correlation trigger scan — the
+        dominant host cost of the streaming receiver — runs on the device
+        against the same upload the decode uses
+        (ops/sync.trigger_scan_capture). Returns
+        (trig_dev, ntrig_dev, cap_dev, scale, npad); the trigger fetch is
+        already in flight (copy_to_host_async)."""
+        from .. import native
+        capture = np.ascontiguousarray(capture, dtype=np.complex64)
+        n = len(capture)
+        npad = next_pow2(n + 4096, lo=1 << 15)
+        mode = self.ingest
+        if mode == "auto":
+            mode = "int8" if npad > (1 << 20) else "f32"
+        if mode == "int8":
+            buf = np.zeros((npad, 2), np.int8)
+            s = native.quantize_int8(capture, buf[:n])
+            if s is None:
+                peak = float(max(np.abs(capture.real).max(initial=0.0),
+                                 np.abs(capture.imag).max(initial=0.0),
+                                 1e-12))
+                sc = 126.0 / peak
+                buf[:n, 0] = np.clip(np.round(capture.real * sc), -127, 127)
+                buf[:n, 1] = np.clip(np.round(capture.imag * sc), -127, 127)
+                s = 1.0 / sc
+            cap_dev, scale = jnp.asarray(buf), jnp.float32(s)
+        else:
+            buf = np.zeros((npad, 2), np.float32)
+            buf[:n] = capture.view(np.float32).reshape(-1, 2)
+            cap_dev, scale = jnp.asarray(buf), jnp.float32(1.0)
+        trig, ntrig = sync.trigger_scan_capture(cap_dev, scale, k_max=k_max,
+                                                q=self.q)
+        trig.copy_to_host_async()
+        ntrig.copy_to_host_async()
+        return trig, ntrig, cap_dev, scale, npad
+
+    def _decode_captures_device(self, caps) -> List[List[PacketResult]]:
+        """decode_captures with the trigger scan ON DEVICE: a 2-deep
+        software pipeline so every device fetch (trigger array, packed
+        meta) has a full iteration of latency budget before the main
+        thread needs it — the relay round trip overlaps other captures'
+        work instead of blocking."""
+        from concurrent.futures import ThreadPoolExecutor
+        n = len(caps)
+        st1: list = [None] * n      # (trig, ntrig, cap_dev, scale, npad)
+        st2: list = [None] * n      # (t0s, cap_dev, scale, npad, packed, tc)
+        st3: list = [None] * n      # futs
+
+        def stage_a(k):
+            """Trigger fetch -> SIG dispatch."""
+            trig, ntrig, cap_dev, scale, npad = st1[k]
+            n_t = int(np.asarray(ntrig))
+            t0s = np.asarray(trig)[:min(n_t, trig.shape[0])].astype(np.int64)
+            if len(t0s) > 0:
+                packed, t_clamp = self._dispatch_sigs(cap_dev, scale, npad,
+                                                      t0s)
+                packed.copy_to_host_async()
+                st2[k] = (t0s, cap_dev, scale, npad, packed, t_clamp)
+            st1[k] = None
+
+        def stage_b(k):
+            """Meta fetch -> plan -> DATA dispatch."""
+            if st2[k] is None:
+                return
+            t0s, cap_dev, scale, npad, packed, t_clamp = st2[k]
+            meta = self._finish_sigs(packed, t_clamp)
+            self.stats.n_trigger += len(t0s)
+            self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"][:len(t0s)]))
+            plans, _ = self._plan_batch(caps[k].shape[-1], meta, len(t0s))
+            st3[k] = self._dispatch_plans(cap_dev, scale, npad, plans)
+            st2[k] = None
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = ex.submit(self._ingest_device, caps[0]) if n else None
+            for k in range(n):
+                st1[k] = fut.result()
+                fut = ex.submit(self._ingest_device, caps[k + 1]) \
+                    if k + 1 < n else None
+                if k >= 1:
+                    stage_a(k - 1)
+                if k >= 2:
+                    stage_b(k - 2)
+            if n:
+                stage_a(n - 1)
+                if n >= 2:
+                    stage_b(n - 2)
+                stage_b(n - 1)
+        finally:
+            ex.shutdown(wait=False)
+        out: List[List[PacketResult]] = []
+        for s in st3:
+            if s is None:
+                out.append([])
+                continue
+            results = []
+            for i, r in self._finish_plans(s):
+                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
+                results.append(r)
+            out.append(results)
+        return out
 
     # -- main entry --------------------------------------------------------
     def decode_capture(self, capture: np.ndarray,
@@ -778,6 +887,8 @@ class SisoReceiver:
         from concurrent.futures import ThreadPoolExecutor
         caps = [np.ascontiguousarray(c, dtype=np.complex64)
                 for c in captures]
+        if self.trigger == "device":
+            return self._decode_captures_device(caps)
         n = len(caps)
         st2: list = [None] * n
         st3: list = [None] * n
@@ -934,15 +1045,24 @@ class SisoReceiver:
         collected = []
         for items, (packed_b, evm, sigb) in futs:
             pb = np.asarray(packed_b)
-            ev = np.asarray(evm)
-            sb = np.asarray(sigb)
+            # one bulk tolist() per group: per-packet np scalar indexing +
+            # float()/bool() conversions cost ~8 us/packet at 1k packets
+            ev = np.asarray(evm).tolist()
+            sb = np.asarray(sigb).tolist()
+            per_stream = ev and isinstance(ev[0], list)
             for j, (i, p) in enumerate(items):
                 psdu = pb[j, 2:2 + p.psdu_len].tobytes()
-                ev_j = np.atleast_1d(ev[j])
+                if per_stream:
+                    ev_j = ev[j]
+                    evm_j = sum(ev_j) / len(ev_j)
+                    sssnr = tuple(ev_j)
+                else:
+                    evm_j = ev[j]
+                    sssnr = (evm_j,)
                 collected.append((i, assemble_psdu(
                     p.mod.fmt, p.mod, psdu, p.ampdu, p.cfo_hz, p.snr,
-                    float(np.mean(ev_j)), sssnr=tuple(float(v) for v in ev_j),
-                    sigb_ok=(bool(sb[j]) if p.mod.fmt == F.VHT else None))))
+                    evm_j, sssnr=sssnr,
+                    sigb_ok=(sb[j] if p.mod.fmt == F.VHT else None))))
         collected.sort(key=lambda t: t[0])
         return collected
 
@@ -1000,39 +1120,45 @@ class SisoReceiver:
         v_nsym_l = -(-(l_len * 8 + 16 + 6) // 24)
         v_nsym = v_nsym_l - 2 - 1 - v_nltf - 1
 
-        def extent(n_ltf, n_sym):
-            return (448 + 80 * n_ltf + 160 + n_sym * 80) * self.q
+        # n_sym fully vectorized (ppdu_params_nonaggregate's ceil formula;
+        # nES == 1 across this 20 MHz SISO envelope) so the loop below
+        # only constructs accepted plans — no per-packet sizing calls
+        ndbps_l = np.asarray([24, 36, 48, 72, 96, 144, 192, 216],
+                             np.int64)[np.clip(l_mcs, 0, 7)]
+        l_nsym = -(-(8 * l_len + 16 + 6) // ndbps_l)
+        ndbps_ht = np.asarray([26, 52, 78, 104, 156, 208, 234, 260],
+                              np.int64)[np.clip(ht_mcs, 0, 7)]
+        ht_nsym = -(-(8 * ht_len + 16 + 6) // ndbps_ht)
+
+        qq = self.q
+        ext_base = (448 + 80 + 160) * qq     # 1 LTF; legacy's is smaller
+        lim = cap_len
 
         for i in np.flatnonzero(cand):
             ws, ls = int(win_start[i]), int(ltf_start[i])
             c, chz, sn = float(cfo[i]), float(cfo_hz[i]), float(snr[i])
             if is_l[i]:
-                if self.q != 1 or not (14 <= l_len[i] <= 4095):
+                if qq != 1 or not (14 <= l_len[i] <= 4095):
                     continue
-                mod = Mod(F.L, int(l_mcs[i]))
-                pp = ppdu_params_nonaggregate(mod, int(l_len[i]))
-                n_sym = pp.n_sym
-                if (n_sym <= 0 or n_sym * mod.nDBPS > 33000
-                        or ws + ls + extent(mod.nLTF, n_sym) > cap_len):
+                n_sym = int(l_nsym[i])
+                if (n_sym * ndbps_l[i] > 33000
+                        or ws + ls + ext_base + n_sym * 80 > lim):
                     continue
-                plans.append((i, _Plan(mod, n_sym, int(l_len[i]), False,
-                                       ws, ls, c, chz, sn)))
+                plans.append((i, _Plan(Mod(F.L, int(l_mcs[i])), n_sym,
+                                       int(l_len[i]), False, ws, ls, c,
+                                       chz, sn)))
             elif is_ht[i]:
-                bw = BW.BW40 if ht_bw40[i] else BW.BW20
-                if bw != self.bw or ht_mcs[i] > 15 or ht_sgi[i]:
+                if (ht_bw40[i] != (self.bw == BW.BW40) or ht_mcs[i] > 7
+                        or ht_sgi[i] or not (1 <= ht_len[i] <= 4095)):
+                    continue          # mcs>7 (2 streams) -> MimoReceiver
+                n_sym = int(ht_nsym[i])
+                if (n_sym * ndbps_ht[i] > 33000
+                        or ws + ls + ext_base + n_sym * 80 * qq > lim):
                     continue
-                if ht_mcs[i] // 8 + 1 != 1:
-                    continue          # SISO receiver; 2x2 -> MimoReceiver
-                if not (1 <= ht_len[i] <= 4095):
-                    continue
-                mod = Mod(F.HT, int(ht_mcs[i]), bw, 1, False)
-                pp = ppdu_params_nonaggregate(mod, int(ht_len[i]))
-                if (pp.n_sym <= 0 or pp.n_sym * mod.nDBPS > 33000
-                        or ws + ls + extent(mod.nLTF, pp.n_sym) > cap_len):
-                    continue
-                plans.append((i, _Plan(mod, pp.n_sym, int(ht_len[i]),
-                                       bool(ht_aggre[i]), ws, ls, c, chz,
-                                       sn)))
+                plans.append((i, _Plan(Mod(F.HT, int(ht_mcs[i]), self.bw,
+                                           1, False), n_sym,
+                                       int(ht_len[i]), bool(ht_aggre[i]),
+                                       ws, ls, c, chz, sn)))
             elif is_vht[i]:
                 if (v_bw[i] != int(self.bw) or v_sgi[i]
                         or not (1 <= v_nsts[i] <= 4)):
@@ -1048,7 +1174,7 @@ class SisoReceiver:
                 n_sym = int(v_nsym[i])
                 psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
                 if (n_sym * mod.nDBPS > 33000 or psdu_len > 4095
-                        or ws + ls + extent(mod.nLTF, n_sym) > cap_len):
+                        or ws + ls + ext_base + n_sym * 80 * qq > lim):
                     continue
                 plans.append((i, _Plan(mod, n_sym, psdu_len, True, ws, ls,
                                        c, chz, sn)))

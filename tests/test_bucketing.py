@@ -142,3 +142,36 @@ def test_decode_captures_stream_matches_single():
         single = SisoReceiver().decode_capture(cap)
         assert [r.psdu for r in res] == [r.psdu for r in single]
         assert all(r.fcs_ok for r in res) and len(res) == 3
+    # the DEVICE-trigger stream (in-graph trigger scan, 2-deep pipeline)
+    # must produce the same packets
+    rxd = SisoReceiver(trigger="device")
+    stream_d = rxd.decode_captures(caps)
+    assert len(stream_d) == 3
+    for res, res_d in zip(stream, stream_d):
+        assert [r.psdu for r in res_d] == [r.psdu for r in res]
+
+
+def test_device_trigger_scan_matches_host():
+    """ops/sync.trigger_scan_capture (in-graph) finds the same trigger
+    set as the host/native scan on a mixed multi-packet capture."""
+    import jax.numpy as jnp
+    from ieee80211_tpu.ops import sync
+    rng = np.random.default_rng(9)
+    parts = []
+    for k in range(6):
+        mpdu = build_udp_mpdu(
+            bytes(rng.integers(0, 256, 120 + 60 * k, dtype=np.uint8)),
+            MAC_CFG_QOS)
+        wave = gen_ampdu(aggregate_vht([mpdu]), Mod(F.VHT, 4)).waveform
+        parts.append(finalize(wave, 0.2, cfo_hz=3e3 * (k - 2), gap=True,
+                              gap_len=700 + 31 * k)[0])
+    cap = np.ascontiguousarray(np.concatenate(parts), np.complex64)
+    host = np.asarray(sync.find_triggers_np(cap, q=1), np.int64)
+    rx = SisoReceiver(trigger="device")
+    trig, ntrig, cap_dev, scale, npad = rx._ingest_device(cap)
+    n_t = int(np.asarray(ntrig))
+    dev = np.asarray(trig)[:n_t].astype(np.int64)
+    # same detection set (positions may differ by a sample or two at the
+    # plateau edge; sync absorbs that)
+    assert len(dev) == len(host), (dev, host)
+    assert np.all(np.abs(dev - host) <= 4), (dev, host)
