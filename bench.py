@@ -50,9 +50,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    T0 = time.perf_counter()
+
+    def mark(tag):
+        print(f"[bench +{time.perf_counter() - T0:.0f}s] {tag}",
+              file=sys.stderr, flush=True)
+
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
+    mark("headline rx")
     pipe, x, t0, mpdu = build_batch(batch)
     xd = jnp.asarray(x)
     td = jnp.asarray(t0)
@@ -116,6 +123,7 @@ def main():
     iters = len(dts)
 
     # secondary metric: batched TX generation rate (BASELINE config 1)
+    mark("tx gen")
     tx_sps = 0.0
     try:
         from ieee80211_tpu.mac import MacConfig, build_udp_mpdu
@@ -160,6 +168,7 @@ def main():
 
     # secondary metric: 80 MHz VHT MCS9 decode rate (beyond the reference
     # envelope — its RX is 20 MHz-only)
+    mark("wideband rx")
     wb_sps = 0.0
     try:
         from ieee80211_tpu.mac import aggregate_vht as _agg
@@ -207,6 +216,7 @@ def main():
 
     # secondary metric: VHT 2x2 MU-MIMO TX with runtime spatial-mapping Q
     # (BASELINE.md config 5; reference analog tools/cmu_v3/cmu_ap.py:204-212)
+    mark("mu tx")
     mu_sps = 0.0
     try:
         from ieee80211_tpu.mac import MacConfig as _MC2
@@ -262,6 +272,7 @@ def main():
     # tools/cmu_v3/cmu_ap.py:98-213 semantics). Identity BFQ geometry:
     # the per-tone P-column combining, joint pilot tracking and
     # own-stream ZF cost exactly the same as through any channel.
+    mark("mu sta rx")
     mu_rx_sps = 0.0
     try:
         from ieee80211_tpu.mac import MacConfig as _MC4
@@ -329,6 +340,7 @@ def main():
     # secondary metric: the PUBLIC API path — SisoReceiver.decode_capture on
     # a multi-packet mixed-length capture (host loop + per-packet fetches;
     # the honest gap vs the fixed-config pipeline, VERDICT weak #4)
+    mark("api decode_capture")
     api_pps = 0.0
     api_msps = 0.0
     try:
@@ -379,8 +391,11 @@ def main():
     # upload, overlapped meta/result fetches). This is the honest analog
     # of the reference's 20 Msps continuous operating point
     # (examples/rx.grc): per-packet format auto-detection end to end.
+    mark("api stream")
     api_stream_sps = 0.0
     api_stream_pps = 0.0
+    api_stream_host = 0.0
+    api_stream_dev = 0.0
     try:
         n_copy, n_stream = 50, 6
         rng2 = np.random.default_rng(7)
@@ -392,28 +407,92 @@ def main():
         big = np.concatenate(big_parts)
         caps = [np.concatenate([np.zeros(64 + 32 * k, np.complex64), big])
                 for k in range(n_stream)]
-        rxs = SisoReceiver()
-        stream = rxs.decode_captures(caps)     # warm (compiles int8 path)
-        for res_k in stream:
-            okk = sum(1 for r in res_k if r.fcs_ok)
-            assert okk == n_api * n_copy, \
-                f"stream decode only {okk}/{n_api * n_copy}"
-        # best-of-3: the stream is host-CPU-bound on this 2-core relay
-        # host, and a background burst (relay client polling) can double a
-        # run; the min is the honest sustained capability (every run
-        # decodes the full 6000 packets with the FCS gate above)
-        dts = []
-        for _ in range(3):
-            t = time.perf_counter()
-            stream = rxs.decode_captures(caps)
-            dts.append(time.perf_counter() - t)
-        dt_s = float(np.min(dts))
-        n_pk = sum(len(r) for r in stream)
-        api_stream_pps = n_pk / dt_s
-        api_stream_sps = sum(len(c) for c in caps) / dt_s
+        total_samp = sum(len(c) for c in caps)
+
+        def run_stream(rxs):
+            stream = rxs.decode_captures(caps)     # warm
+            for res_k in stream:
+                okk = sum(1 for r in res_k if r.fcs_ok)
+                assert okk == n_api * n_copy, \
+                    f"stream decode only {okk}/{n_api * n_copy}"
+            # best-of-3: the stream is host-CPU-bound on this 2-core relay
+            # host, and a background burst (relay client polling) can
+            # double a run; the min is the honest sustained capability
+            # (every run decodes the full 6000 packets, FCS gate above)
+            dts = []
+            for _ in range(3):
+                t = time.perf_counter()
+                stream = rxs.decode_captures(caps)
+                dts.append(time.perf_counter() - t)
+            n_pk = sum(len(r) for r in stream)
+            return total_samp / float(np.min(dts)), \
+                n_pk / float(np.min(dts))
+
+        # A/B: host-side native trigger scan vs the in-graph device scan
+        api_stream_host, pps_h = run_stream(SisoReceiver())
+        api_stream_dev, pps_d = run_stream(SisoReceiver(trigger="device"))
+        if api_stream_dev >= api_stream_host:
+            api_stream_sps, api_stream_pps = api_stream_dev, pps_d
+        else:
+            api_stream_sps, api_stream_pps = api_stream_host, pps_h
     except Exception:
         traceback.print_exc(file=sys.stderr)
 
+    # secondary metric: DUAL-CHAIN sustained stream through the inherited
+    # MimoReceiver.decode_captures (the rx2.grc real-time analog): mixed
+    # SISO(MRC)/2x2 packets on two RX chains, per-chain fused native
+    # scan+quantize ingest.
+    mark("api stream mimo")
+    api_stream_mimo_sps = 0.0
+    try:
+        from ieee80211_tpu.rx.mimo import MimoReceiver
+        from ieee80211_tpu.specs import BW as _BW5
+        h1 = np.array([0.9 - 0.3j, 0.5 + 0.8j])
+        h22 = np.array([[1.1 + 0.2j, 0.3 - 0.5j], [-0.4 + 0.6j, 0.9 + 0.1j]])
+        rng5 = np.random.default_rng(15)
+        parts2 = []
+        n_mimo_pkts = 0
+        for i in range(12):
+            pl = bytes(rng5.integers(0, 256, int(rng5.integers(100, 700)),
+                                     dtype=np.uint8))
+            mp = _bum3(pl, _cfg3)
+            if i % 2:
+                wv = _ga3(_agg3([mp]),
+                          _Mod3(_F3.VHT, 4, _BW5.BW20, 2)).waveform
+                wv = _fin3(wv, multiplier=0.2, cfo_hz=float(
+                    rng5.uniform(-4e4, 4e4)), gap=False)
+                w2 = h22 @ wv
+            else:
+                wv = _fin3(_ga3(_agg3([mp]), _Mod3(_F3.VHT, 7)).waveform,
+                           multiplier=0.2, cfo_hz=float(
+                               rng5.uniform(-4e4, 4e4)), gap=False)[0]
+                w2 = np.stack([h1[0] * wv, h1[1] * wv])
+            parts2.append(np.zeros((2, 800), np.complex64))
+            parts2.append(w2.astype(np.complex64))
+            n_mimo_pkts += 1
+        seg2 = np.concatenate(parts2, axis=1)
+        reps = 40
+        big2 = np.concatenate([seg2] * reps, axis=1)
+        caps2 = [np.concatenate(
+            [np.zeros((2, 64 + 32 * k), np.complex64), big2], axis=1)
+            for k in range(3)]
+        rxm = MimoReceiver()
+        stream2 = rxm.decode_captures(caps2)   # warm
+        want2 = n_mimo_pkts * reps
+        for res_k in stream2:
+            okk = sum(1 for r in res_k if r.fcs_ok)
+            assert okk == want2, f"mimo stream decode only {okk}/{want2}"
+        dts2 = []
+        for _ in range(3):
+            t = time.perf_counter()
+            stream2 = rxm.decode_captures(caps2)
+            dts2.append(time.perf_counter() - t)
+        api_stream_mimo_sps = (sum(c.shape[1] for c in caps2)
+                               / float(np.min(dts2)))
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+
+    mark("done")
     baseline_sps = 20e6   # reference real-time operating point: 20 Msps
     print(json.dumps({
         "metric": "rx_decode_samples_per_sec_per_chip_vht_mcs7_20mhz",
@@ -433,6 +512,9 @@ def main():
             "api_decode_capture_samples_per_sec": round(api_msps),
             "api_stream_packets_per_sec": round(api_stream_pps),
             "api_stream_samples_per_sec": round(api_stream_sps),
+            "api_stream_sps_host_trigger": round(api_stream_host),
+            "api_stream_sps_device_trigger": round(api_stream_dev),
+            "api_stream_mimo_samples_per_sec": round(api_stream_mimo_sps),
             "backend": jax.default_backend(),
         },
     }))

@@ -25,12 +25,16 @@ OFF_LSIG = 128
 OFF_NLLTF = 448
 
 
-def make_rx_step(mod: Mod, n_sym: int):
+def make_rx_step(mod: Mod, n_sym: int, csi_weight: bool = True):
     """Build the full RX step for a static (Mod, n_sym) config (any bw).
 
     Returns fn(x2: [B, W, 2] float32 I/Q, t0: [B] int32) -> dict with:
       bits [B, n_bits] descrambled data bits, ltf_start, cfo, snr, lsig_ok.
     (Real-valued boundary per utils/riq.py convention.)
+
+    csi_weight: per-tone |H|^2 LLR weighting (ops/demod._demod_data_tail)
+    — identical on flat channels, large gain on multipath; False gives
+    the reference's unweighted demap for A/B rows.
     """
     from ..utils.riq import r2c
     n_bits = n_sym * mod.nDBPS
@@ -95,7 +99,8 @@ def make_rx_step(mod: Mod, n_sym: int):
             pidx0 = 3 if mod.fmt == F.HT else 4
         gd = demod.fft_syms(demod.static_symbol_windows(
             z, gi + data_offset(), n_sym, nfft=nfft, gi=gi, shift=sh))
-        llrs = demod.demod_data_siso(gd, chan, mod, n_sym, pidx0)
+        llrs = demod.demod_data_siso(gd, chan, mod, n_sym, pidx0,
+                                     csi_weight=csi_weight)
         bits = coding.viterbi_decode(llrs, mod.cr, n_bits)
         scr = coding.descramble(bits)
         return dict(bits=scr, ltf_start=ltf_start, cfo=cfo, snr=snr,
@@ -107,11 +112,12 @@ def make_rx_step(mod: Mod, n_sym: int):
 class RxPipeline:
     """Jitted fixed-config receiver with helpers for benchmarking."""
 
-    def __init__(self, mod: Mod, n_sym: int, psdu_len: int):
+    def __init__(self, mod: Mod, n_sym: int, psdu_len: int,
+                 csi_weight: bool = True):
         self.mod = mod
         self.n_sym = n_sym
         self.psdu_len = psdu_len
-        self.step = jax.jit(make_rx_step(mod, n_sym))
+        self.step = jax.jit(make_rx_step(mod, n_sym, csi_weight=csi_weight))
 
     def window_len(self) -> int:
         base = 192 + 128 + 80  # sync slack + LTF + L-SIG

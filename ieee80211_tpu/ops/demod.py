@@ -391,11 +391,22 @@ def ml_detect_llr_2x2(gd: jnp.ndarray, h: jnp.ndarray, mod: M
 
 
 def _demod_data_tail(eq: jnp.ndarray, mod: Mod, n_sym: int, pidx0: int,
-                     with_snr: bool, n_valid_sym: jnp.ndarray):
+                     with_snr: bool, n_valid_sym: jnp.ndarray,
+                     weight_grid: jnp.ndarray = None):
     """Shared post-equalization tail: pilot phase track + demap +
     deinterleave + bucket-padding mask (+ EVM SNR).
 
-    eq: [B, n_sym, nfft] equalized symbol grids."""
+    eq: [B, n_sym, nfft] equalized symbol grids.
+
+    weight_grid: optional [B, nfft] REAL per-tone noise-inverse weight
+    (|H|^2 for ZF SISO, sum_r |H_r|^2 for MRC). ZF equalization inflates
+    the noise on faded tones by 1/|H|^2; unweighted LLRs hand those tones
+    the same vote as clean ones and multipath packets die ~6 dB early
+    (the round-3 VHT7 fading `None` waterfalls). Scaling each tone's LLRs
+    by its weight restores the max-log metric under colored noise — on a
+    flat channel the weight is uniform and decisions are unchanged. (The
+    reference RX never weights — lib/cloud80211phy.cc procSymQamToLlr —
+    this is a beyond-reference gain.)"""
     legacy = mod.fmt == F.L
     key = (mod.bw, legacy)
     pref = jnp.asarray(pilot_refs(mod, n_sym, pidx0))
@@ -403,6 +414,11 @@ def _demod_data_tail(eq: jnp.ndarray, mod: Mod, n_sym: int, pidx0: int,
     eq = eq / ph[..., None]
     data = eq[..., jnp.asarray(tables.DATA_GRID[key])]    # [B, S, nSD]
     llr = demap_llr(data, mod.mod)                        # [B, S, nCBPSS]
+    if weight_grid is not None:
+        w = weight_grid[..., jnp.asarray(tables.DATA_GRID[key])]
+        w = w / jnp.maximum(jnp.mean(w, axis=-1, keepdims=True), 1e-12)
+        nb = llr.shape[-1] // data.shape[-1]
+        llr = llr * jnp.repeat(w, nb, axis=-1)[:, None, :]
     perm = jnp.asarray(ilv.rx_perm(mod, 0))
     out = llr[..., perm].reshape(llr.shape[0], -1)
     if n_valid_sym is None:
@@ -420,7 +436,8 @@ def _demod_data_tail(eq: jnp.ndarray, mod: Mod, n_sym: int, pidx0: int,
 
 def demod_data_siso(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
                     n_sym: int, pidx0: int, with_snr: bool = False,
-                    n_valid_sym: jnp.ndarray = None):
+                    n_valid_sym: jnp.ndarray = None,
+                    csi_weight: bool = True):
     """Equalize+track+demap+deinterleave the DATA field.
 
     sym_grids: [B, n_sym, nfft] raw FFT grids; chan: [B, nfft].
@@ -432,9 +449,15 @@ def demod_data_siso(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
     symbols >= n_valid_sym are forced to 0 (path-neutral in the Viterbi)
     and excluded from the EVM, so one compiled program serves every packet
     length within the bucket.
+
+    csi_weight: scale each tone's LLRs by |H|^2 (max-ratio weighting; see
+    _demod_data_tail) — identical decisions on flat channels, ~6 dB of
+    multipath robustness back on frequency-selective ones.
     """
     eq = equalize(sym_grids, chan)
-    return _demod_data_tail(eq, mod, n_sym, pidx0, with_snr, n_valid_sym)
+    wg = jnp.abs(chan) ** 2 if csi_weight else None
+    return _demod_data_tail(eq, mod, n_sym, pidx0, with_snr, n_valid_sym,
+                            weight_grid=wg)
 
 
 def mrc_combine(grids: jnp.ndarray, chan: jnp.ndarray) -> jnp.ndarray:
@@ -452,13 +475,18 @@ def mrc_combine(grids: jnp.ndarray, chan: jnp.ndarray) -> jnp.ndarray:
 
 def demod_data_mrc(sym_grids: jnp.ndarray, chan: jnp.ndarray, mod: Mod,
                    n_sym: int, pidx0: int, with_snr: bool = False,
-                   n_valid_sym: jnp.ndarray = None):
+                   n_valid_sym: jnp.ndarray = None,
+                   csi_weight: bool = True):
     """demod_data_siso for a single-stream packet on MULTIPLE RX chains.
 
     sym_grids: [B, nRx, n_sym, nfft]; chan: [B, nRx, nfft]. MRC-combines
     the chains (2-chain diversity the reference's dual-antenna RX never
     had for legacy/SISO packets — it decodes them from chain 0 only,
-    lib/demod2_impl.cc:213-276), then runs the shared demod tail.
+    lib/demod2_impl.cc:213-276), then runs the shared demod tail. The
+    MRC combiner's post-combining noise variance is 1/sum_r |H_r|^2 per
+    tone — that sum is the CSI weight.
     """
     eq = mrc_combine(sym_grids, chan)
-    return _demod_data_tail(eq, mod, n_sym, pidx0, with_snr, n_valid_sym)
+    wg = jnp.sum(jnp.abs(chan) ** 2, axis=1) if csi_weight else None
+    return _demod_data_tail(eq, mod, n_sym, pidx0, with_snr, n_valid_sym,
+                            weight_grid=wg)

@@ -219,23 +219,27 @@ def _pick_chunk(n_blk: int, pack: int = 1) -> int:
 
 
 RENORM = 64      # metric renorm period in radix blocks (r3 sweep)
+DTYPE = jnp.float32   # storage dtype for LLR DMA + metric plane (bf16
+                      # halves the DMA traffic; compute stays f32). Module
+                      # level so an end-to-end A/B can retune like RADIX/TB.
 
 
 def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
                           radix: int = None, tb: int = None,
                           pack: int = None,
                           renorm: int = None,
-                          dtype=jnp.float32,
+                          dtype=None,
                           interpret: bool = False) -> jnp.ndarray:
     """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32.
 
-    radix/tb/renorm default to the module-level RADIX/TB/RENORM at CALL
-    time (so sweeps and tests can retune without re-importing).
+    radix/tb/renorm/dtype default to the module-level RADIX/TB/RENORM/
+    DTYPE at CALL time (so sweeps and tests can retune without
+    re-importing).
 
     interpret=True runs the kernel through the Pallas interpreter on any
     backend — the CPU-CI numerics gate for every exposed config (the bf16
     default regression of round 1 would have been caught here)."""
-    dt = dtype
+    dt = dtype if dtype is not None else DTYPE
     if radix is None:
         radix = RADIX
     if tb is None:

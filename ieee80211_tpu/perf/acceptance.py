@@ -150,18 +150,21 @@ def _sweep_curves(build, pipe_cls, configs, snr_db, n_pkt, payload_len,
 
 
 class _MuStaPipe:
-    """Batched per-STA decode of a fixed-config 2-user MU PPDU: sync on
-    the STA's single antenna, then MuStaDecoder (P-column combining,
+    """Batched per-STA decode of a fixed-config MU PPDU: sync on the
+    STA's single antenna, then MuStaDecoder (P-row combining,
     joint-pilot tracking, own-stream ZF)."""
 
-    def __init__(self, mod, n_sym: int, psdu_len: int, mupos: int):
+    def __init__(self, mod, n_sym: int, psdu_len: int, mupos: int,
+                 n_sts_total: int = 2):
         from ..mu.sounding import MuStaDecoder
+        from ..specs import tables as _t
         self.mod, self.n_sym, self.psdu_len = mod, n_sym, psdu_len
-        self._dec = MuStaDecoder(mod, n_sym, psdu_len, mupos)
+        self._dec = MuStaDecoder(mod, n_sym, psdu_len, mupos, n_sts_total)
+        self._n_ltf = int(_t.N_LTF[n_sts_total])
         self.step = jax.jit(self._step)
 
     def window_len(self) -> int:
-        return 192 + 448 + 160 + 80 + 80 * self.n_sym + 80
+        return 192 + 448 + 80 * self._n_ltf + 80 + 80 * self.n_sym + 160
 
     def _step(self, x2, t0):
         from ..ops import sync
@@ -170,12 +173,13 @@ class _MuStaPipe:
         return dict(bits=bits)
 
 
-def _mu_curves(snr_db, n_pkt, payload_len, seed, log
+def _mu_curves(snr_db, n_pkt, payload_len, seed, log, n_user: int = 2
                ) -> Dict[str, List[float]]:
-    """2-user MU-MIMO PDR: the full sounding->feedback->ZF->MU-TX->decode
-    loop (reference cmu_v3 / perf_sumimo.py semantics) swept over AWGN.
-    The channel is a fixed well-conditioned 2x2 (sounded once, exact
-    closed loop); PDR averages both STAs' own-MPDU delivery."""
+    """n_user MU-MIMO PDR: the full sounding->feedback->ZF->MU-TX->decode
+    loop (reference cmu_v3 / perf_sumimo.py semantics; genAmpduMu covers
+    <=4 users, tools/phy80211.py:183) swept over AWGN. The channel is a
+    fixed well-conditioned n_user x n_user (sounded once, exact closed
+    loop); PDR averages every STA's own-MPDU delivery."""
     from ..mac import aggregate_vht, build_udp_mpdu
     from ..mu import map_q_to_grid, ndp_ltf_channel, vht_channel_feedback, \
         zf_q
@@ -186,28 +190,30 @@ def _mu_curves(snr_db, n_pkt, payload_len, seed, log
     from ..utils import c2r as _c2r
     from .pdr import MAC_CFG_QOS
 
+    nu = n_user
     rng = np.random.default_rng(seed + 99)
-    h = ((rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2)))
-         / np.sqrt(2) + 2.0 * np.eye(2))
-    h = h * np.sqrt(2) / np.linalg.norm(h)
-    ndp = gen_ampdu(b"", Mod(F.VHT, 0, BW.BW20, 2))
+    h = ((rng.standard_normal((nu, nu)) + 1j * rng.standard_normal((nu, nu)))
+         / np.sqrt(2) + (2.0 + 0.5 * (nu - 2)) * np.eye(nu))
+    h = h * np.sqrt(nu) / np.linalg.norm(h)
+    ndp = gen_ampdu(b"", Mod(F.VHT, 0, BW.BW20, nu))
     ncap = finalize(ndp.waveform, multiplier=0.3, cfo_hz=4000.0, gap=True,
                     gap_len=1200)
     v_users = []
-    for u in range(2):
-        nc = sta_capture_ndp((h[u] @ ncap).astype(np.complex64), n_sts=2)
+    for u in range(nu):
+        nc = sta_capture_ndp((h[u] @ ncap).astype(np.complex64), n_sts=nu)
         assert nc is not None, "sounding NDP capture failed"
         v_users.append(vht_channel_feedback(
-            ndp_ltf_channel(nc.ltf_iq, n_sts=2), BW.BW20, n_sts=2, n_rx=1))
+            ndp_ltf_channel(nc.ltf_iq, n_sts=nu), BW.BW20, n_sts=nu,
+            n_rx=1))
     q64 = map_q_to_grid(zf_q(v_users))
 
     curves: Dict[str, List[float]] = {}
     key = jax.random.PRNGKey(seed)
     for mcs in (0, 2, 4):
         t_start = time.time()
-        mods = [Mod(F.VHT, mcs, BW.BW20, 1)] * 2
+        mods = [Mod(F.VHT, mcs, BW.BW20, 1)] * nu
         mpdus, amps = [], []
-        for u in range(2):
+        for u in range(nu):
             mp = build_udp_mpdu(bytes(np.random.default_rng(
                 seed + 31 * u).integers(0, 256, payload_len,
                                         dtype=np.uint8)), MAC_CFG_QOS)
@@ -219,10 +225,11 @@ def _mu_curves(snr_db, n_pkt, payload_len, seed, log
         ltf = tx.waveform[0, 160:320]
         scale = SIG_AMP / np.sqrt(np.mean(np.abs(ltf) ** 2))
         wave = finalize(tx.waveform, multiplier=scale, gap=True,
-                        gap_len=64)                      # [2, N]
+                        gap_len=64)                      # [nu, N]
         oks = np.zeros(len(snr_db))
-        for u in range(2):
-            pipe = _MuStaPipe(mods[u], n_sym_mu, pps[u].psdu_len, u)
+        for u in range(nu):
+            pipe = _MuStaPipe(mods[u], n_sym_mu, pps[u].psdu_len, u,
+                              n_sts_total=nu)
             w = pipe.window_len()
             y = (h[u] @ wave).astype(np.complex64)
             x = np.zeros(w, dtype=np.complex64)
@@ -238,8 +245,8 @@ def _mu_curves(snr_db, n_pkt, payload_len, seed, log
                 pkts = np.asarray(run(xd, td, sub, namp))
                 oks[si] += _count_ok(pkts, pps[u].psdu_len, mpdus[u],
                                      ampdu=True)
-        name = f"MU_VHT{mcs}x2"
-        curves[name] = list(oks / (2 * n_pkt))
+        name = f"MU_VHT{mcs}x{nu}"
+        curves[name] = list(oks / (nu * n_pkt))
         log(f"{name}: waterfall(90%)="
             f"{_snr_at(snr_db, curves[name], 0.9)} "
             f"pdr@30={curves[name][-1]:.2f} [{time.time() - t_start:.0f}s]")
@@ -289,7 +296,7 @@ def run_acceptance(n_pkt: int = 100, payload_len: int = 500,
         # beyond-reference rows, swept over PER-PACKET random channels
         # (multipath for SISO, Ricean mixing for 2x2) — the ensemble
         # robustness the round-2 VERDICT said the high-SNR-only wideband
-        # tests were missing (Weak #6)
+        # tests were missing (Weak #6). FULL MCS grids like the AWGN rows.
         for bw, tag in ((BW.BW40, "40"), (BW.BW80, "80")):
             q = tables.NFFT[bw] // 64
 
@@ -298,22 +305,40 @@ def run_acceptance(n_pkt: int = 100, payload_len: int = 500,
                     :len(wave)].astype(np.complex64)
 
             result["curves"][f"siso_fading_{tag}"] = _sweep_curves(
-                _build_packet_bw(bw), _Rx, [(F.VHT, m) for m in (0, 4, 7)],
+                _build_packet_bw(bw), _Rx, [(F.VHT, m) for m in range(10)],
                 snr_db, n_pkt, payload_len, seed, log, chan=chan_fir)
 
             def chan_mix(rng, wave2):
                 return (_mix_2x2(rng) @ wave2).astype(np.complex64)
 
             # HT exists only at 20/40 MHz (802.11n); 80 MHz rows are VHT
-            mimo_cfg = (([(F.HT, m) for m in (8, 12)]
+            mimo_cfg = (([(F.HT, m) for m in range(8, 16)]
                          if bw == BW.BW40 else [])
-                        + [(F.VHT, m) for m in (4, 7)])
+                        + [(F.VHT, m) for m in range(10)])
             result["curves"][f"mimo_2x2_fading_{tag}"] = _sweep_curves(
                 _build_mimo_packet_bw(bw), MimoRxPipeline, mimo_cfg,
                 snr_db, n_pkt, payload_len, seed, log, chan=chan_mix)
+        # contrast row: the same VHT7 @80 multipath sweep WITHOUT per-tone
+        # CSI LLR weighting (the reference's unweighted demap) — the r3
+        # VHT7 fading `None` waterfall was this receiver deficiency, not
+        # physics; the weighted row above reaches 90% where this one
+        # never does
+        class _RxUnweighted(_Rx):
+            def __init__(self, mod, n_sym, psdu_len):
+                super().__init__(mod, n_sym, psdu_len, csi_weight=False)
+
+        def chan_fir80(rng, wave):
+            return np.convolve(wave, _fir_taps(rng, 4))[
+                :len(wave)].astype(np.complex64)
+
+        result["curves"]["siso_fading_80_unweighted_llr"] = _sweep_curves(
+            _build_packet_bw(BW.BW80), _RxUnweighted, [(F.VHT, 7)],
+            snr_db, n_pkt, payload_len, seed, log, chan=chan_fir80)
     if mu:
         result["curves"]["mu_2user"] = _mu_curves(
             snr_db, n_pkt, payload_len, seed, log)
+        result["curves"]["mu_4user"] = _mu_curves(
+            snr_db, n_pkt, payload_len, seed, log, n_user=4)
     # derived waterfall table (SNR at sustained 90% PDR)
     result["waterfall_90pct"] = {
         grp: {k: _snr_at(snr_db, v, 0.9) for k, v in cs.items()}

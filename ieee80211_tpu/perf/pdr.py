@@ -134,7 +134,7 @@ class MimoRxPipeline:
         from ..specs import tables
         q = tables.NFFT[self.mod.bw] // 64
         ltf_start, cfo, snr = sync.sync_front_iq(x2[:, 0], t0, q=q)
-        bits, _ = self._dec._decode(x2, ltf_start, cfo)
+        bits, _, _ = self._dec._decode(x2, ltf_start, cfo)
         return dict(bits=bits, ltf_start=ltf_start, cfo=cfo, snr=snr)
 
 

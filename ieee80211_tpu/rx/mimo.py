@@ -21,9 +21,9 @@ from ..ops import coding, demod, sync
 from ..specs import BW, CR, F, M, Mod, tables
 from ..specs import interleaver as ilv
 from ..utils.riq import r2c
-from .receiver import (N_SYM_BUCKET, OFF_LSIG, OFF_NLLTF, PacketResult,
-                       SisoReceiver, _bucket, assemble_packet, parse_ht_sig,
-                       parse_vht_siga, sig_parse_mimo)
+from .receiver import (MIN_TRIGGER_GAP, N_SYM_BUCKET, OFF_LSIG, OFF_NLLTF,
+                       PacketResult, SisoReceiver, _bucket, assemble_packet,
+                       parse_ht_sig, parse_vht_siga, sig_parse_mimo)
 
 
 @lru_cache(maxsize=None)
@@ -412,14 +412,17 @@ class MimoReceiver(SisoReceiver):
             for c in range(2):
                 t_c, s_c = native.scan_quantize(
                     capture[c], buf[c, :n], thresh=0.5,
-                    plateau=20 * self.q, min_gap=400 * self.q,
+                    plateau=20 * self.q,
+                    min_gap=MIN_TRIGGER_GAP * self.q,
                     lag=16 * self.q)
                 per_chain.append(np.asarray(t_c, np.int64))
                 scales[c] = s_c
             t0s = merge_triggers(per_chain, dedup_gap=200 * self.q)
             return t0s, jnp.asarray(buf), jnp.asarray(scales), npad
         t0s = merge_triggers(
-            [sync.find_triggers_np(capture[c], q=self.q) for c in range(2)],
+            [sync.find_triggers_np(capture[c], q=self.q,
+                                   min_gap=MIN_TRIGGER_GAP)
+             for c in range(2)],
             dedup_gap=200 * self.q)
         cap_dev, scale, npad = self._upload(capture)
         return t0s, cap_dev, scale, npad
@@ -543,12 +546,14 @@ class MimoReceiver(SisoReceiver):
         fmt = _pick_nl_format(meta, i) if (lsig_data or not
                                            bool(meta["lsig_ok"][i])) else F.L
 
+        # exact packet ends (see SisoReceiver._plan_batch: the device
+        # capture is zero-padded, so a packet ending at cap_len is whole)
         def extent(mod, n_sym):
-            return ltf_start + (448 + 80 * mod.nLTF + 160
-                                + n_sym * 80) * self.q
+            off = 448 + 80 * mod.nLTF + (80 if mod.fmt == F.VHT else 0)
+            return ltf_start + (off + n_sym * 80) * self.q
 
         def l_extent(mod, n_sym):
-            return ltf_start + (128 + 80 + 80 + n_sym * 80) * self.q
+            return ltf_start + (208 + n_sym * 80) * self.q
 
         if fmt == F.VHT:
             if not lsig_data:

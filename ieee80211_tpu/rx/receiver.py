@@ -106,6 +106,13 @@ def sigb_service_crc_ok(sigb_bits: jnp.ndarray, scr_bits: jnp.ndarray,
 
 SIGPARSE_WIN = 1040  # samples consumed from t0 (x q): preamble+SIGs+slack
 
+MIN_TRIGGER_GAP = 600  # trigger dedup distance (20 MHz units). The
+# non-legacy STF ~560 samples into every HT/VHT packet re-fires the STF
+# correlator (the reference re-arms the same way, lib/trigger_impl.cc:
+# 92-109) and at min_gap=400 those spurious windows DOUBLED the SIG-parse
+# batch. Real consecutive packets are >= ~880 samples apart (SIFS 320 +
+# shortest PPDU ~560), so 600 suppresses only the self-re-trigger.
+
 
 @partial(jax.jit, static_argnames=("n_lag", "q"))
 def sig_parse(x2: jnp.ndarray, t0: jnp.ndarray, n_lag: int = 176,
@@ -725,11 +732,11 @@ class SisoReceiver:
             buf = np.zeros((npad, 2), np.int8)
             t0s, s = native.scan_quantize(
                 capture, buf[:n], thresh=0.5, plateau=20 * self.q,
-                min_gap=400 * self.q, lag=16 * self.q)
+                min_gap=MIN_TRIGGER_GAP * self.q, lag=16 * self.q)
             return (np.asarray(t0s, dtype=np.int64), jnp.asarray(buf),
                     jnp.float32(s), npad)
-        t0s = np.asarray(sync.find_triggers_np(capture, q=self.q),
-                         dtype=np.int64)
+        t0s = np.asarray(sync.find_triggers_np(
+            capture, q=self.q, min_gap=MIN_TRIGGER_GAP), dtype=np.int64)
         cap_dev, scale, npad = self._upload(capture)
         return t0s, cap_dev, scale, npad
 
@@ -767,7 +774,8 @@ class SisoReceiver:
             buf[:n] = capture.view(np.float32).reshape(-1, 2)
             cap_dev, scale = jnp.asarray(buf), jnp.float32(1.0)
         trig, ntrig = sync.trigger_scan_capture(cap_dev, scale, k_max=k_max,
-                                                q=self.q)
+                                                q=self.q,
+                                                min_gap=MIN_TRIGGER_GAP)
         trig.copy_to_host_async()
         ntrig.copy_to_host_async()
         return trig, ntrig, cap_dev, scale, npad
@@ -808,6 +816,18 @@ class SisoReceiver:
             st3[k] = self._dispatch_plans(cap_dev, scale, npad, plans)
             st2[k] = None
 
+        out: List[List[PacketResult]] = [[] for _ in range(n)]
+
+        def stage_c(k):
+            if st3[k] is None:
+                return
+            results = []
+            for i, r in self._finish_plans(st3[k]):
+                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
+                results.append(r)
+            out[k] = results
+            st3[k] = None
+
         ex = ThreadPoolExecutor(max_workers=1)
         try:
             fut = ex.submit(self._ingest_device, caps[0]) if n else None
@@ -819,6 +839,8 @@ class SisoReceiver:
                     stage_a(k - 1)
                 if k >= 2:
                     stage_b(k - 2)
+                if k >= 4:
+                    stage_c(k - 4)   # in-loop assembly (see decode_captures)
             if n:
                 stage_a(n - 1)
                 if n >= 2:
@@ -826,16 +848,8 @@ class SisoReceiver:
                 stage_b(n - 1)
         finally:
             ex.shutdown(wait=False)
-        out: List[List[PacketResult]] = []
-        for s in st3:
-            if s is None:
-                out.append([])
-                continue
-            results = []
-            for i, r in self._finish_plans(s):
-                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
-                results.append(r)
-            out.append(results)
+        for k in range(n):
+            stage_c(k)
         return out
 
     # -- main entry --------------------------------------------------------
@@ -913,6 +927,18 @@ class SisoReceiver:
         # phase2(k) has dispatched its DATA programs — so device and host
         # buffers are freed as the stream advances instead of growing
         # linearly with its length (continuous-streaming safety).
+        out: List[List[PacketResult]] = [[] for _ in range(n)]
+
+        def phase3(k):
+            if st3[k] is None:
+                return
+            results = []
+            for i, r in self._finish_plans(st3[k]):
+                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
+                results.append(r)
+            out[k] = results
+            st3[k] = None
+
         ex = ThreadPoolExecutor(max_workers=1)
         try:
             fut = ex.submit(self._ingest, caps[0]) if n else None
@@ -926,24 +952,27 @@ class SisoReceiver:
                     packed.copy_to_host_async()
                     st2[k] = (t0s, cap_dev, scale, npad, packed, t_clamp)
                 del cap_dev
-                if k >= 1:
-                    st3[k - 1] = phase2(k - 1)
-                    st2[k - 1] = None
-            if n:
-                st3[n - 1] = phase2(n - 1)
-                st2[n - 1] = None
+                if k >= 2:
+                    # plan k-2 (not k-1): the packed-meta fetch then has
+                    # TWO ingests of latency cover, so a slow relay
+                    # round-trip stays off the critical path
+                    st3[k - 2] = phase2(k - 2)
+                    st2[k - 2] = None
+                if k >= 4:
+                    # assemble k-4 INSIDE the loop: its decode dispatches
+                    # have had two full iterations of device time, so the
+                    # fetch is a no-wait and the host assembly overlaps
+                    # the worker's ingest instead of serializing after
+                    # the loop
+                    phase3(k - 4)
+            for k in (n - 2, n - 1):
+                if k >= 0:
+                    st3[k] = phase2(k)
+                    st2[k] = None
         finally:
             ex.shutdown(wait=False)
-        out: List[List[PacketResult]] = []
-        for s in st3:                                   # phase 3
-            if s is None:
-                out.append([])
-                continue
-            results = []
-            for i, r in self._finish_plans(s):
-                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
-                results.append(r)
-            out.append(results)
+        for k in range(n):                              # drain the tail
+            phase3(k)
         return out
 
     def _extract_ndp(self, capture: np.ndarray, p: _Plan):
@@ -1126,12 +1155,19 @@ class SisoReceiver:
         ndbps_l = np.asarray([24, 36, 48, 72, 96, 144, 192, 216],
                              np.int64)[np.clip(l_mcs, 0, 7)]
         l_nsym = -(-(8 * l_len + 16 + 6) // ndbps_l)
-        ndbps_ht = np.asarray([26, 52, 78, 104, 156, 208, 234, 260],
-                              np.int64)[np.clip(ht_mcs, 0, 7)]
+        ht_tab = (np.asarray([54, 108, 162, 216, 324, 432, 486, 540],
+                             np.int64) if self.bw == BW.BW40 else
+                  np.asarray([26, 52, 78, 104, 156, 208, 234, 260],
+                             np.int64))
+        ndbps_ht = ht_tab[np.clip(ht_mcs, 0, 7)]
         ht_nsym = -(-(8 * ht_len + 16 + 6) // ndbps_ht)
 
         qq = self.q
-        ext_base = (448 + 80 + 160) * qq     # 1 LTF; legacy's is smaller
+        # completeness gates use the EXACT per-format packet end (a packet
+        # whose last sample IS the capture's last sample is complete; the
+        # device capture is zero-padded, so window reads past cap_len see
+        # zeros, not garbage). L data starts at 208, HT at 528 (1 LTF),
+        # VHT at 608 (+SIG-B), in 20 MHz units from the LTF data start.
         lim = cap_len
 
         for i in np.flatnonzero(cand):
@@ -1142,7 +1178,7 @@ class SisoReceiver:
                     continue
                 n_sym = int(l_nsym[i])
                 if (n_sym * ndbps_l[i] > 33000
-                        or ws + ls + ext_base + n_sym * 80 > lim):
+                        or ws + ls + (208 + n_sym * 80) > lim):
                     continue
                 plans.append((i, _Plan(Mod(F.L, int(l_mcs[i])), n_sym,
                                        int(l_len[i]), False, ws, ls, c,
@@ -1153,7 +1189,7 @@ class SisoReceiver:
                     continue          # mcs>7 (2 streams) -> MimoReceiver
                 n_sym = int(ht_nsym[i])
                 if (n_sym * ndbps_ht[i] > 33000
-                        or ws + ls + ext_base + n_sym * 80 * qq > lim):
+                        or ws + ls + (528 + n_sym * 80) * qq > lim):
                     continue
                 plans.append((i, _Plan(Mod(F.HT, int(ht_mcs[i]), self.bw,
                                            1, False), n_sym,
@@ -1174,7 +1210,7 @@ class SisoReceiver:
                 n_sym = int(v_nsym[i])
                 psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
                 if (n_sym * mod.nDBPS > 33000 or psdu_len > 4095
-                        or ws + ls + ext_base + n_sym * 80 * qq > lim):
+                        or ws + ls + (608 + n_sym * 80) * qq > lim):
                     continue
                 plans.append((i, _Plan(mod, n_sym, psdu_len, True, ws, ls,
                                        c, chz, sn)))
@@ -1199,10 +1235,16 @@ class SisoReceiver:
         l_len = int(meta["l_len"][i])
 
         # length-consistency guards (parity: lib/demod_impl.cc:159,186 and
-        # the PSDU/trellis caps in lib/decode_impl.h:35-36)
+        # the PSDU/trellis caps in lib/decode_impl.h:35-36). Extent = the
+        # EXACT packet end (see _plan_batch).
         def extent(mod, n_sym):
-            return ltf_start + (OFF_NLLTF + 80 * mod.nLTF + 160
-                                + n_sym * 80) * self.q
+            if mod.fmt == F.L:
+                off = 208
+            elif mod.fmt == F.HT:
+                off = OFF_NLLTF + 80 * mod.nLTF
+            else:
+                off = OFF_NLLTF + 80 * mod.nLTF + 80
+            return ltf_start + (off + n_sym * 80) * self.q
 
         def fits(mod, n_sym):
             return (0 < n_sym and n_sym * mod.nDBPS <= 33000

@@ -166,7 +166,9 @@ def test_device_trigger_scan_matches_host():
         parts.append(finalize(wave, 0.2, cfo_hz=3e3 * (k - 2), gap=True,
                               gap_len=700 + 31 * k)[0])
     cap = np.ascontiguousarray(np.concatenate(parts), np.complex64)
-    host = np.asarray(sync.find_triggers_np(cap, q=1), np.int64)
+    from ieee80211_tpu.rx.receiver import MIN_TRIGGER_GAP
+    host = np.asarray(sync.find_triggers_np(
+        cap, q=1, min_gap=MIN_TRIGGER_GAP), np.int64)
     rx = SisoReceiver(trigger="device")
     trig, ntrig, cap_dev, scale, npad = rx._ingest_device(cap)
     n_t = int(np.asarray(ntrig))

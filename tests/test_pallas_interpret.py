@@ -74,9 +74,13 @@ def test_interpret_default_config():
 def test_default_dtype_is_mosaic_safe():
     """The kernel computes decisions in f32 regardless of storage dtype;
     assert the committed default storage dtype is one of the two supported
-    values (guards against accidentally defaulting to an untested dtype)."""
+    values (guards against accidentally defaulting to an untested dtype).
+    The default now lives in the module-level DTYPE (dtype=None at the
+    signature means 'use DTYPE at call time', like RADIX/TB/RENORM)."""
+    from ieee80211_tpu.ops.pallas import viterbi as V
     sig = inspect.signature(viterbi_decode_pallas)
-    assert sig.parameters["dtype"].default in (jnp.float32, jnp.bfloat16)
+    assert sig.parameters["dtype"].default is None
+    assert V.DTYPE in (jnp.float32, jnp.bfloat16)
 
 
 def test_interpret_long_trellis_batch_pad():

@@ -101,20 +101,34 @@ def test_committed_artifact_fading_mu_thresholds():
     1.0 the identity-channel groups must reach."""
     with open(ART) as f:
         art = json.load(f)
-    # TPU r3 artifact measured: siso_fading_40 VHT0/4/7 = 1.0/0.94/0.73,
-    # siso_fading_80 = 1.0/0.90/0.83, mimo rows >= 0.95, MU = 1.0.
-    # Floors sit ~0.05 under the measured ensemble PDR so seed-level
-    # drift on regeneration doesn't flap, a real regression still trips.
-    floors = {"VHT0": 0.95, "VHT4": 0.85, "VHT7": 0.65,
-              "HT8": 0.95, "HT12": 0.9}
+    # Floors sit under the measured ensemble PDR so seed-level drift on
+    # regeneration doesn't flap while a real regression still trips.
+    # Dense constellations on random channels have outage; floors taper
+    # with MCS. (r3 artifact predates CSI LLR weighting; the r4 floors
+    # for low/mid MCS match its measurements, high MCS are new rows.)
+    floors = {"VHT0": 0.95, "VHT1": 0.9, "VHT2": 0.9, "VHT3": 0.85,
+              "VHT4": 0.85, "VHT5": 0.7, "VHT6": 0.65, "VHT7": 0.65,
+              "VHT8": 0.6, "VHT9": 0.45,
+              "HT8": 0.95, "HT9": 0.9, "HT10": 0.9, "HT11": 0.85,
+              "HT12": 0.85, "HT13": 0.8, "HT14": 0.7, "HT15": 0.7}
     for grp in ("siso_fading_40", "siso_fading_80",
                 "mimo_2x2_fading_40", "mimo_2x2_fading_80"):
         assert grp in art["curves"], f"missing sweep group {grp}"
         for name, curve in art["curves"][grp].items():
             assert curve[-1] >= floors[name], \
                 f"{grp}/{name}: ensemble PDR@30dB {curve[-1]}"
-    mu = art["curves"]["mu_2user"]
-    for name, curve in mu.items():
-        assert curve[-1] >= 0.9, f"mu {name}: PDR@30dB {curve[-1]}"
-        wf = _snr_at(art["snr_db"], curve, 0.9)
-        assert wf is not None and wf <= 30
+    for mu_grp in ("mu_2user", "mu_4user"):
+        if mu_grp == "mu_4user" and mu_grp not in art["curves"]:
+            pytest.skip("artifact predates mu_4user row")
+        for name, curve in art["curves"][mu_grp].items():
+            assert curve[-1] >= 0.9, f"{mu_grp} {name}: PDR@30dB {curve[-1]}"
+            wf = _snr_at(art["snr_db"], curve, 0.9)
+            assert wf is not None and wf <= 30
+    # CSI-weighting contrast: weighted VHT7 @80 multipath must dominate
+    # the unweighted (reference-demap) row — the r3 `None` waterfall was
+    # a receiver deficiency, not channel physics
+    if "siso_fading_80_unweighted_llr" in art["curves"]:
+        unw = art["curves"]["siso_fading_80_unweighted_llr"]["VHT7"]
+        wtd = art["curves"]["siso_fading_80"]["VHT7"]
+        assert wtd[-1] >= unw[-1]
+        assert sum(wtd) >= sum(unw)
