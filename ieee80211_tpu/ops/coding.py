@@ -168,41 +168,14 @@ def _viterbi_core(lp: jnp.ndarray, m0: jnp.ndarray, radix: int
     return jnp.moveaxis(bits_rev, 0, 1).reshape(b, t_pad)
 
 
-def viterbi_decode_blocked(llrs: jnp.ndarray, cr: CR, n_bits: int,
-                           chunk: int = 480, overlap: int = 96,
-                           radix: int = 4) -> jnp.ndarray:
-    """Block-parallel soft Viterbi (overlap-save over the trellis).
-
-    The trellis is cut into `chunk`-bit blocks decoded *in parallel*, each
-    extended by `overlap` warmup/cooldown steps on both sides whose decoded
-    bits are discarded; survivor paths merge within ~5 constraint lengths,
-    so with overlap >= 96 the kept bits match the exact Viterbi output for
-    any operating SNR of interest. Sequential depth drops from n_bits/radix
-    to (chunk+2*overlap)/radix, and the chunk axis folds into the batch —
-    this is how the dominant RX cost (lib/decode_impl.cc:205-281) scales on
-    a massively parallel core. Exact-decode variant: viterbi_decode.
-    """
-    k = radix
-    b = llrs.shape[0]
-    lp = depuncture(llrs, cr, n_bits)                  # [B, T, 2]
-    nck = -(-n_bits // chunk)
-    if nck <= 1:
-        return viterbi_decode(llrs, cr, n_bits, radix=radix)
-    t_tot = nck * chunk
-    wlen = chunk + 2 * overlap
-    wlen_pad = -(-wlen // k) * k
-    pad_r = t_tot + (wlen_pad - chunk - overlap) - n_bits
-    lp = jnp.pad(lp, ((0, 0), (overlap, pad_r), (0, 0)))
-    starts = np.arange(nck) * chunk
-    idx = starts[:, None] + np.arange(wlen_pad)[None, :]
-    win = lp[:, jnp.asarray(idx)]                      # [B, nck, wlen_pad, 2]
-    win = win.reshape(b * nck, wlen_pad, 2)
-    # initial metrics: uniform for mid-stream chunks, state-0 for chunk 0
-    m0 = jnp.zeros((b, nck, 64), dtype=jnp.float32)
-    m0 = m0.at[:, 0, 1:].set(NEG)
-    bits = _viterbi_core(win, m0.reshape(b * nck, 64), k)
-    bits = bits.reshape(b, nck, wlen_pad)[:, :, overlap:overlap + chunk]
-    return bits.reshape(b, t_tot)[:, :n_bits]
+# NOTE: an overlap-save block-parallel decoder (`viterbi_decode_blocked`,
+# chunked trellis + warmup/cooldown overlap folded into the batch axis)
+# lived here through round 3 as a multi-core scaling experiment. Measured
+# head-to-head on TPU (perf_ab_r4.py, batch 2048, 13184-bit trellis):
+# 582.6 ms vs the fused Pallas kernel's 24.6 ms — the XLA-scan ACS it
+# rode is 24x off, and the Pallas kernel already keeps the VPU full at
+# any useful batch, so the block axis buys nothing on this hardware.
+# Deleted per that measurement (round-4 VERDICT #8).
 
 
 def viterbi_decode(llrs: jnp.ndarray, cr: CR, n_bits: int,

@@ -129,10 +129,12 @@ def ab_blocked(batch=2048):
             return s
         return run
 
+    # measured 2026-08-21 (this script, pre-deletion): pallas 24.6 ms vs
+    # blocked_xla 582.6 ms per call at batch 2048 / 13184 bits — the
+    # overlap-save XLA-scan decoder was deleted on that number
+    # (ops/coding.py note). Only the Pallas row remains runnable.
     for name, fn in (
         ("pallas", lambda x: viterbi_decode_pallas(x, CR.CR34, n_bits)),
-        ("blocked_xla", lambda x: coding.viterbi_decode_blocked(
-            x, CR.CR34, n_bits)),
     ):
         run = mk(fn)
         dt_s = max((_median_time(run, (llrs, None), iters=5) - rt) / K,
