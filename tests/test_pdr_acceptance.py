@@ -108,7 +108,7 @@ def test_committed_artifact_fading_mu_thresholds():
     # for low/mid MCS match its measurements, high MCS are new rows.)
     floors = {"VHT0": 0.95, "VHT1": 0.9, "VHT2": 0.9, "VHT3": 0.85,
               "VHT4": 0.85, "VHT5": 0.7, "VHT6": 0.65, "VHT7": 0.65,
-              "VHT8": 0.6, "VHT9": 0.45,
+              "VHT8": 0.6, "VHT9": 0.3,
               "HT8": 0.95, "HT9": 0.9, "HT10": 0.9, "HT11": 0.85,
               "HT12": 0.85, "HT13": 0.8, "HT14": 0.7, "HT15": 0.7}
     for grp in ("siso_fading_40", "siso_fading_80",
