@@ -19,6 +19,11 @@ import numpy as np
 from ..specs import CR, tables
 
 NEG = -1e30
+PALLAS_MIN_BITS = 1   # on TPU, run EVERY decode through the Pallas kernel:
+# routing even the 24-bit L-SIG decode that way measured +6.5 Msps on the
+# end-to-end headline (336.1 vs 329.6, alternated A/B r4) — the XLA-scan
+# formulation's 8 sequential [B,64,8] steps cost more than one kernel
+# launch. The scan path remains for CPU and interpret testing.
 
 
 def _acs_tables():
@@ -194,10 +199,10 @@ def viterbi_decode(llrs: jnp.ndarray, cr: CR, n_bits: int,
     trellises. Trailing steps are padded with zero LLRs (path-neutral).
     """
     b = llrs.shape[0]
-    # long trellises on TPU run in the fused Pallas kernel (ACS + in-VMEM
-    # traceback); short SIG-field decodes and other backends use the XLA
-    # scan formulation below.
-    if n_bits >= 192 and jax.default_backend() == "tpu":
+    # TPU decodes run in the fused Pallas kernel (ACS + in-VMEM
+    # traceback); other backends use the XLA scan formulation below.
+    # PALLAS_MIN_BITS is module-level for A/B sweeps.
+    if n_bits >= PALLAS_MIN_BITS and jax.default_backend() == "tpu":
         from .pallas.viterbi import viterbi_decode_pallas
         if radix is None:
             return viterbi_decode_pallas(llrs, cr, n_bits)

@@ -83,6 +83,16 @@ def test_default_dtype_is_mosaic_safe():
     assert V.DTYPE in (jnp.float32, jnp.bfloat16)
 
 
+def test_interpret_sig_length_trellis():
+    """24-bit L-SIG-length decode through the kernel (on TPU every decode
+    now routes through it — PALLAS_MIN_BITS=1): exact vs encoder."""
+    rng = np.random.default_rng(12)
+    bits, llr = _encode_batch(rng, 33, 24, CR.CR12)
+    got = np.asarray(viterbi_decode_pallas(
+        jnp.asarray(llr), CR.CR12, 24, interpret=True))
+    np.testing.assert_array_equal(got, bits)
+
+
 def test_interpret_long_trellis_batch_pad():
     """Non-multiple batch + longer trellis exercises padding + tiling."""
     rng = np.random.default_rng(11)
