@@ -230,8 +230,9 @@ class MimoDataDecoder:
 
 
 @lru_cache(maxsize=64)
-def get_mimo_decoder(mod: Mod, n_sym_bucket: int) -> MimoDataDecoder:
-    return MimoDataDecoder(mod, n_sym_bucket)
+def get_mimo_decoder(mod: Mod, n_sym_bucket: int,
+                     detector: str = "ml") -> MimoDataDecoder:
+    return MimoDataDecoder(mod, n_sym_bucket, detector)
 
 
 class MrcDataDecoder:
@@ -362,7 +363,18 @@ class MimoReceiver(SisoReceiver):
     dispatch (packed meta fetch), one decode dispatch per (Mod, bucket)
     group — 2x2 plans through the MIMO detector, legacy/SISO plans
     through the MRC decoder.
+
+    detector: "ml" (exact max-log, decodes through ill-conditioned
+    channels the ZF equalizer cannot) or "zf" (reference-parity linear
+    detector, ~cheaper at dense constellations).
     """
+
+    def __init__(self, sample_rate_hz: float = 20e6, stats=None,
+                 ingest: str = "auto", trigger: str = "host",
+                 detector: str = "ml"):
+        super().__init__(sample_rate_hz, stats, ingest, trigger)
+        assert detector in ("ml", "zf")
+        self.detector = detector
 
     def _upload(self, capture: np.ndarray):
         """See SisoReceiver._upload: auto = f32 below 32 MB, int8 above
@@ -443,8 +455,8 @@ class MimoReceiver(SisoReceiver):
         return packed, t_clamp
 
     def _decoder_for(self, mod: Mod, n_sym_bucket: int):
-        return (get_mimo_decoder(mod, n_sym_bucket) if mod.nSS == 2
-                else get_mrc_decoder(mod, n_sym_bucket))
+        return (get_mimo_decoder(mod, n_sym_bucket, self.detector)
+                if mod.nSS == 2 else get_mrc_decoder(mod, n_sym_bucket))
 
     def _plan_batch(self, cap_len: int, meta, n: int):
         """Universal dual-chain planning over all n trigger windows.
