@@ -149,6 +149,41 @@ def _sweep_curves(build, pipe_cls, configs, snr_db, n_pkt, payload_len,
     return curves
 
 
+class _MrcPipe:
+    """Batched dual-chain decode of a fixed-config SISO packet via MRC
+    combining (rx/mimo.MrcDataDecoder). The acceptance row this feeds
+    quantifies what the reference's chain-0-only legacy/SISO path
+    (lib/demod2_impl.cc:213-276) leaves on the table: with a second
+    equal-power chain, MRC buys ~3 dB of waterfall."""
+
+    def __init__(self, mod, n_sym: int, psdu_len: int):
+        from ..rx.mimo import MrcDataDecoder
+        self.mod, self.n_sym, self.psdu_len = mod, n_sym, psdu_len
+        self._dec = MrcDataDecoder(mod, n_sym)
+        self.step = jax.jit(self._step)
+
+    def window_len(self) -> int:
+        return (192 + self._dec.data_offset()
+                + (self.n_sym * 80 + 80) * self._dec.q)
+
+    def _step(self, x2, t0):
+        from ..ops import sync
+        # timing/CFO from chain 0 (chains share one LO)
+        ltf_start, cfo, _snr = sync.sync_front_iq(x2[:, 0], t0,
+                                                  q=self._dec.q)
+        bits, _, _ = self._dec._decode(x2, ltf_start, cfo)
+        return dict(bits=bits)
+
+
+def _build_mrc_packet(fmt, mcs, payload_len, seed):
+    """SISO VHT packet presented on TWO RX chains (unit-gain chain 0 —
+    identical to the siso AWGN rows — plus a unit-magnitude chain 1)."""
+    from .pdr import _build_packet
+    mod, pp, mpdu, wave = _build_packet(fmt, mcs, payload_len, seed)
+    h1 = np.exp(1j * 1.1)
+    return mod, pp, mpdu, np.stack([wave, h1 * wave]).astype(np.complex64)
+
+
 class _MuStaPipe:
     """Batched per-STA decode of a fixed-config MU PPDU: sync on the
     STA's single antenna, then MuStaDecoder (P-row combining,
@@ -292,6 +327,13 @@ def run_acceptance(n_pkt: int = 100, payload_len: int = 500,
         result["curves"]["mimo_2x2"] = _sweep_curves(
             _build_mimo_packet, MimoRxPipeline, configs, snr_db, n_pkt,
             payload_len, seed, log)
+        # SISO packets on the DUAL-chain receiver: MRC across chains.
+        # Directly comparable with the `siso` group (same packets, same
+        # noise calibration, chain 0 identical) — the waterfall shift IS
+        # the diversity gain the reference's chain-0-only path forfeits.
+        result["curves"]["siso_mrc_2rx"] = _sweep_curves(
+            _build_mrc_packet, _MrcPipe, [(F.VHT, m) for m in (0, 4, 7)],
+            snr_db, n_pkt, payload_len, seed, log)
     if wideband:
         # beyond-reference rows, swept over PER-PACKET random channels
         # (multipath for SISO, Ricean mixing for 2x2) — the ensemble

@@ -124,6 +124,16 @@ def test_committed_artifact_fading_mu_thresholds():
             assert curve[-1] >= 0.9, f"{mu_grp} {name}: PDR@30dB {curve[-1]}"
             wf = _snr_at(art["snr_db"], curve, 0.9)
             assert wf is not None and wf <= 30
+    # MRC gain: SISO packets through the dual-chain receiver must
+    # waterfall at least 2 dB EARLIER than the same packets on one chain
+    # (theory: +3 dB for an equal-power second chain) — the quantified
+    # advantage over the reference's chain-0-only SISO path
+    if "siso_mrc_2rx" in art["curves"]:
+        for name, wf_mrc in art["waterfall_90pct"]["siso_mrc_2rx"].items():
+            wf_siso = art["waterfall_90pct"]["siso"][name]
+            assert wf_mrc is not None
+            assert wf_mrc <= wf_siso - 2, \
+                f"MRC {name}: {wf_mrc} vs siso {wf_siso} dB"
     # CSI-weighting contrast: weighted VHT7 @80 multipath must dominate
     # the unweighted (reference-demap) row — the r3 `None` waterfall was
     # a receiver deficiency, not channel physics

@@ -126,3 +126,29 @@ def test_vht_2x2_wideband(mcs, bw):
     assert len(res) == 1
     assert res[0].fmt == F.VHT and res[0].mcs == mcs
     assert res[0].fcs_ok and res[0].mpdus[0] == mpdu
+
+
+@pytest.mark.parametrize("mcs,bw", [(4, BW.BW40), (9, BW.BW40),
+                                    (7, BW.BW80), (9, BW.BW80)])
+def test_siso_mrc_wideband_dual_chain(mcs, bw):
+    """SISO VHT at 40/80 MHz arriving on the DUAL-chain receiver decodes
+    via MRC combining — the universal-receiver envelope at wideband rates
+    (the reference's 2-chain RX is 20 MHz-only AND chain-0-only for SISO,
+    lib/demod2_impl.cc:213-276)."""
+    q = Q[bw]
+    mpdu = build_udp_mpdu(PAYLOAD, CFG_QOS)
+    tx = gen_ampdu(aggregate_vht([mpdu]), Mod(F.VHT, mcs, bw, 1))
+    wave = finalize(tx.waveform, multiplier=0.2, cfo_hz=7000.0 * q, num=1,
+                    gap=True, gap_len=400 * q)[0]
+    rng = np.random.default_rng(mcs + 3)
+    h = rng.standard_normal(2) + 1j * rng.standard_normal(2)
+    h /= np.abs(h).max()
+    cap = np.stack([h[0] * wave, h[1] * wave])
+    cap += (rng.standard_normal(cap.shape)
+            + 1j * rng.standard_normal(cap.shape)) * 1e-5
+    res = MimoReceiver(sample_rate_hz=20e6 * q).decode_capture(
+        cap.astype(np.complex64))
+    assert len(res) == 1
+    assert res[0].fmt == F.VHT and res[0].mcs == mcs
+    assert res[0].fcs_ok and res[0].mpdus[0] == mpdu
+    assert res[0].sigb_ok is True
