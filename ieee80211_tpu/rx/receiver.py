@@ -812,7 +812,9 @@ class SisoReceiver:
             meta = self._finish_sigs(packed, t_clamp)
             self.stats.n_trigger += len(t0s)
             self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"][:len(t0s)]))
-            plans, _ = self._plan_batch(caps[k].shape[-1], meta, len(t0s))
+            plans, ndp_plans = self._plan_batch(caps[k].shape[-1], meta,
+                                               len(t0s))
+            self._surface_stream_ndps(k, caps[k], ndp_plans)
             st3[k] = self._dispatch_plans(cap_dev, scale, npad, plans)
             st2[k] = None
 
@@ -896,7 +898,8 @@ class SisoReceiver:
         throughput entry the reference's streaming flowgraph corresponds
         to (examples/rx.grc runs at 20 Msps continuously); bench.py
         measures it as api_stream_samples_per_sec. Data packets only —
-        use decode_capture_full to also surface NDP channel reports.
+        decode_captures_full additionally surfaces NDP channel reports
+        inline with the stream.
         """
         from concurrent.futures import ThreadPoolExecutor
         caps = [np.ascontiguousarray(c, dtype=np.complex64)
@@ -915,7 +918,9 @@ class SisoReceiver:
             meta = self._finish_sigs(packed, t_clamp)
             self.stats.n_trigger += len(t0s)
             self.stats.n_sig_ok += int(np.sum(meta["lsig_ok"][:len(t0s)]))
-            plans, _ = self._plan_batch(caps[k].shape[-1], meta, len(t0s))
+            plans, ndp_plans = self._plan_batch(caps[k].shape[-1], meta,
+                                               len(t0s))
+            self._surface_stream_ndps(k, caps[k], ndp_plans)
             return self._dispatch_plans(cap_dev, scale, npad, plans)
 
         # The ingest pass (native scan+quantize, releases the GIL) runs on
@@ -974,6 +979,31 @@ class SisoReceiver:
         for k in range(n):                              # drain the tail
             phase3(k)
         return out
+
+    def decode_captures_full(self, captures):
+        """decode_captures that ALSO surfaces NDP channel captures.
+
+        Returns (results, ndps): per-capture packet lists plus per-capture
+        lists of NDP channel captures — the streaming analog of
+        decode_capture_full (the reference's continuous RX emits type-20
+        channel reports inline with data, lib/decode_impl.cc:100-121).
+        """
+        self._stream_ndps = ndps = [[] for _ in captures]
+        try:
+            results = self.decode_captures(captures)
+        finally:
+            self._stream_ndps = None
+        return results, ndps
+
+    _stream_ndps = None
+
+    def _surface_stream_ndps(self, k: int, capture: np.ndarray, ndp_plans):
+        if self._stream_ndps is None:
+            return
+        for p in ndp_plans:
+            nd = self._extract_ndp(capture, p)
+            if nd is not None:
+                self._stream_ndps[k].append(nd)
 
     def _extract_ndp(self, capture: np.ndarray, p: _Plan):
         """CFO-corrected VHT-LTF windows of a detected NDP (host side —

@@ -144,6 +144,33 @@ def test_mimo_decode_captures_stream():
                 assert got[key].mpdus[0] == mpdu
 
 
+def test_stream_surfaces_ndps():
+    """decode_captures_full emits NDP channel captures inline with the
+    stream, for both the SISO and the dual-chain receiver."""
+    from ieee80211_tpu.rx import SisoReceiver
+    cap, want = _mixed_capture()
+    caps2 = [cap, cap]
+    stream, ndps = MimoReceiver().decode_captures_full(caps2)
+    assert len(stream) == 2 and len(ndps) == 2
+    for res, nd in zip(stream, ndps):
+        assert sum(1 for r in res if r.fcs_ok) == len(want)
+        assert len(nd) == 1 and len(nd[0]) == 2   # one NDP, 2 chains
+    # SISO stream: plant an NDP between data packets on one chain
+    from ieee80211_tpu.tx import finalize, gen_ampdu
+    from ieee80211_tpu.mac import aggregate_vht, build_udp_mpdu
+    mpdu = build_udp_mpdu(b"data-around-the-ndp", MAC_CFG_QOS)
+    w_d = finalize(gen_ampdu(aggregate_vht([mpdu]),
+                             Mod(F.VHT, 5)).waveform,
+                   multiplier=0.2, cfo_hz=4e3, gap=True, gap_len=800)[0]
+    w_n = finalize(gen_ampdu(b"", Mod(F.VHT, 0, BW.BW20, 2)).waveform,
+                   multiplier=0.2, cfo_hz=2e3, gap=True, gap_len=800)[0]
+    c1 = np.concatenate([w_d, w_n, w_d]).astype(np.complex64)
+    stream, ndps = SisoReceiver().decode_captures_full([c1, c1])
+    for res, nd in zip(stream, ndps):
+        assert sum(1 for r in res if r.fcs_ok) == 2
+        assert len(nd) == 1 and nd[0].ltf_iq.shape == (128,)
+
+
 def test_dual_chain_ndp_feeds_2rx_feedback():
     """Both chains' NDP captures stack into a [nSD, nSTS, nRx=2] feedback
     matrix (beyond-reference: the reference STA is single-antenna)."""
