@@ -459,19 +459,116 @@ class MimoReceiver(SisoReceiver):
                 if mod.nSS == 2 else get_mrc_decoder(mod, n_sym_bucket))
 
     def _plan_batch(self, cap_len: int, meta, n: int):
-        """Universal dual-chain planning over all n trigger windows.
+        """Universal dual-chain planning over all n trigger windows,
+        VECTORIZED like SisoReceiver._plan_batch (the per-window gates
+        and SIG-field arithmetic run as numpy array ops; the loop only
+        constructs accepted plans). _plan_one is the single-window
+        reference implementation; tests/test_dual_chain_universal.py
+        asserts parity. Returns (data_plans [(i, _Plan)], ndp_plans)."""
+        from .receiver import _Plan
+        plans: list = []
+        ndps: list = []
+        snr = np.asarray(meta["snr"][:n], np.float64)
+        cand = snr > 0.0
+        if not np.any(cand):
+            return plans, ndps
+        lsig_ok = np.asarray(meta["lsig_ok"][:n]).astype(bool)
+        win_start = np.asarray(meta["win_start"][:n], np.int64)
+        ltf_start = np.asarray(meta["ltf_start"][:n], np.int64)
+        cfo = np.asarray(meta["cfo"][:n], np.float64)
+        cfo_hz = cfo * self.fs / (2 * np.pi) * -1.0
+        l_mcs = np.asarray(meta["l_mcs"][:n], np.int64)
+        l_len = np.asarray(meta["l_len"][:n], np.int64)
+        ht_ok = np.asarray(meta["ht_ok"][:n]).astype(bool)
+        vht_ok = np.asarray(meta["vht_ok"][:n]).astype(bool)
+        imag_dom = np.asarray(meta["nl1_imag_dom"][:n]).astype(bool)
+        hb = np.asarray(meta["ht_bits"][:n], np.int64)
+        vb = np.asarray(meta["vht_bits"][:n], np.int64)
+        ht_mcs = hb[:, :7] @ (1 << np.arange(7, dtype=np.int64))
+        ht_bw40 = hb[:, 7].astype(bool)
+        ht_len = hb[:, 8:24] @ (1 << np.arange(16, dtype=np.int64))
+        ht_aggre = hb[:, 27].astype(bool)
+        ht_sgi = hb[:, 31].astype(bool)
+        v_bw = vb[:, 0] + 2 * vb[:, 1]
+        v_nsts = (vb[:, 10:13] @ (1 << np.arange(3, dtype=np.int64))) + 1
+        v_sgi = vb[:, 24].astype(bool)
+        v_mcs = vb[:, 28:32] @ (1 << np.arange(4, dtype=np.int64))
 
-        Returns (data_plans [(i, _Plan)], ndp_plans [_Plan]); see
-        _plan_one for the envelope and gates."""
-        plans, ndps = [], []
-        for i in range(n):
-            p = self._plan_one(cap_len, meta, i)
-            if p is None:
-                continue
-            if p.ndp:
-                ndps.append(p)
-            else:
-                plans.append((i, p))
+        # format pick — _plan_one: non-legacy dispatch applies when the
+        # L-SIG is a valid MCS0 OR failed outright (HT-SIG carries its
+        # own CRC); a valid non-MCS0 L-SIG is a legacy payload
+        lsig_data = lsig_ok & (l_mcs == 0)
+        nl_elig = lsig_data | ~lsig_ok
+        pick_vht = vht_ok & (~imag_dom | ~ht_ok)
+        pick_ht = ht_ok & ~pick_vht
+        is_vht = cand & nl_elig & pick_vht & lsig_data
+        is_ht = cand & nl_elig & pick_ht
+        is_l = cand & lsig_ok & ~(nl_elig & (pick_vht | pick_ht))
+
+        # vectorized sizing (nES == 1 across this envelope)
+        ndbps_l = np.asarray([24, 36, 48, 72, 96, 144, 192, 216],
+                             np.int64)[np.clip(l_mcs, 0, 7)]
+        l_nsym = -(-(8 * l_len + 16 + 6) // ndbps_l)
+        ht_tab = (np.asarray([54, 108, 162, 216, 324, 432, 486, 540],
+                             np.int64) if self.bw == BW.BW40 else
+                  np.asarray([26, 52, 78, 104, 156, 208, 234, 260],
+                             np.int64))
+        ht_nss = ht_mcs // 8 + 1
+        ndbps_ht = ht_tab[np.clip(ht_mcs % 8, 0, 7)] * np.clip(ht_nss, 1, 2)
+        ht_nsym = -(-(8 * ht_len + 16 + 6) // ndbps_ht)
+        v_nltf = np.asarray(tables.N_LTF)[np.clip(v_nsts, 0, 4)]
+        v_nsym_l = -(-(l_len * 8 + 16 + 6) // 24)
+        v_nsym = v_nsym_l - 2 - 1 - v_nltf - 1
+        qq = self.q
+        lim = cap_len
+
+        for i in np.flatnonzero(cand):
+            ws, ls = int(win_start[i]), int(ltf_start[i])
+            c, chz, sn = float(cfo[i]), float(cfo_hz[i]), float(snr[i])
+            if is_vht[i]:
+                if (v_bw[i] != int(self.bw) or v_sgi[i]
+                        or not (1 <= v_nsts[i] <= 4)):
+                    continue
+                if v_nsym[i] <= 0:
+                    ndps.append(_Plan(Mod(F.VHT, 0, self.bw,
+                                          int(v_nsts[i])), 0, 0, False,
+                                      ws, ls, c, chz, sn, ndp=True))
+                    continue
+                if v_nsts[i] > 2:
+                    continue
+                mod = Mod(F.VHT, int(v_mcs[i]), self.bw, int(v_nsts[i]))
+                n_sym = int(v_nsym[i])
+                psdu_len = (n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
+                if (n_sym * mod.nDBPS > 33000
+                        or psdu_len > 4095 * int(v_nsts[i])
+                        or ws + ls + (448 + 80 * mod.nLTF + 80
+                                      + n_sym * 80) * qq > lim):
+                    continue
+                plans.append((i, _Plan(mod, n_sym, psdu_len, True, ws, ls,
+                                       c, chz, sn)))
+            elif is_ht[i]:
+                if (ht_bw40[i] != (self.bw == BW.BW40) or ht_mcs[i] > 15
+                        or ht_sgi[i] or not (1 <= ht_len[i] <= 4095)):
+                    continue
+                mod = Mod(F.HT, int(ht_mcs[i]), self.bw, int(ht_nss[i]))
+                n_sym = int(ht_nsym[i])
+                if (n_sym <= 0 or n_sym * mod.nDBPS > 33000
+                        or ws + ls + (448 + 80 * mod.nLTF
+                                      + n_sym * 80) * qq > lim):
+                    continue
+                plans.append((i, _Plan(mod, n_sym, int(ht_len[i]),
+                                       bool(ht_aggre[i]), ws, ls, c, chz,
+                                       sn)))
+            elif is_l[i]:
+                if qq != 1 or not (14 <= l_len[i] <= 4095):
+                    continue
+                n_sym = int(l_nsym[i])
+                if (n_sym <= 0 or n_sym * ndbps_l[i] > 33000
+                        or ws + ls + 208 + n_sym * 80 > lim):
+                    continue
+                plans.append((i, _Plan(Mod(F.L, int(l_mcs[i])), n_sym,
+                                       int(l_len[i]), False, ws, ls, c,
+                                       chz, sn)))
         return plans, ndps
 
     def decode_capture(self, capture: np.ndarray) -> List[PacketResult]:

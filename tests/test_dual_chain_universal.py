@@ -144,6 +144,30 @@ def test_mimo_decode_captures_stream():
                 assert got[key].mpdus[0] == mpdu
 
 
+def test_mimo_plan_batch_matches_plan_one():
+    """The vectorized dual-chain planner returns exactly what the
+    single-window reference implementation returns on a capture mixing
+    every branch (L/HT-SISO/VHT-SISO/2x2/NDP)."""
+    cap, _ = _mixed_capture()
+    rx = MimoReceiver()
+    t0s, cap_dev, scale, npad = rx._ingest(np.asarray(cap, np.complex64))
+    meta = rx._parse_sigs(cap_dev, scale, npad, t0s)
+    cap_len = cap.shape[1]
+    plans_b, ndps_b = rx._plan_batch(cap_len, meta, len(t0s))
+    plans_s, ndps_s = [], []
+    for i in range(len(t0s)):
+        p = rx._plan_one(cap_len, meta, i)
+        if p is None:
+            continue
+        (ndps_s if p.ndp else plans_s).append((i, p))
+    assert [i for i, _ in plans_b] == [i for i, _ in plans_s]
+    for (_, pb), (_, ps) in zip(plans_b, plans_s):
+        assert pb == ps, (pb, ps)
+    assert len(ndps_b) == len(ndps_s)
+    for pb, (_, ps) in zip(ndps_b, ndps_s):
+        assert pb == ps
+
+
 def test_stream_surfaces_ndps():
     """decode_captures_full emits NDP channel captures inline with the
     stream, for both the SISO and the dual-chain receiver."""
