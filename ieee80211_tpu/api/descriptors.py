@@ -48,7 +48,8 @@ class MuDataRequest:
 
 @dataclasses.dataclass
 class BfqMessage:
-    q: np.ndarray      # [64, 2, 2] complex64
+    q: np.ndarray      # [64, n, n] complex64 (n=2 is the reference wire
+                       # format; n=3/4 extends it for multi-stream MU users)
 
 
 @dataclasses.dataclass
@@ -76,17 +77,25 @@ def pack_data(mpdu: bytes, mod: Mod) -> bytes:
 
 def pack_mu_data(mpdu0: bytes, mod0: Mod, mpdu1: bytes, mod1: Mod,
                  group_id: int) -> bytes:
+    """Real per-user nSTS on the wire (parity: genPktGrDataMu packs each
+    user's nSS, tools/phy80211.py:1200-1222 / lib/pktgen_impl.cc:95-115) —
+    a 2-stream MU user is expressible, matching the golden TX envelope."""
     assert 0 < group_id < 63
-    return (struct.pack("<BBBH", GRF.MU.value, mod0.mcs, 1, len(mpdu0))
-            + struct.pack("<BBH", mod1.mcs, 1, len(mpdu1))
+    return (struct.pack("<BBBH", GRF.MU.value, mod0.mcs, mod0.nSTS,
+                        len(mpdu0))
+            + struct.pack("<BBH", mod1.mcs, mod1.nSTS, len(mpdu1))
             + struct.pack("<B", group_id) + bytes(mpdu0) + bytes(mpdu1))
 
 
 def pack_bfq(q: np.ndarray) -> bytes:
+    """[64, n, n] spatial-mapping Q -> wire message. n=2 is byte-identical
+    to the reference (genPktGrBfQ, 1 + 64*2*2*8 bytes); larger n uses the
+    same layout with the message length carrying the dimension."""
     q = np.asarray(q)
-    assert q.shape == (64, 2, 2)
+    n = q.shape[1]
+    assert q.shape == (64, n, n) and 1 <= n <= 4
     out = struct.pack("<B", GRF.BFQ.value)
-    flat = np.empty(64 * 4 * 2, dtype=np.float32)
+    flat = np.empty(64 * n * n * 2, dtype=np.float32)
     flat[0::2] = np.real(q).reshape(-1)
     flat[1::2] = np.imag(q).reshape(-1)
     return out + flat.tobytes()
@@ -104,9 +113,10 @@ def unpack_request(msg: bytes) -> Optional[Request]:
         return None
     t = msg[0]
     if t == GRF.BFQ.value:
-        flat = np.frombuffer(msg[1:1 + 2048], dtype=np.float32)
+        n = int(round(np.sqrt((len(msg) - 1) / 512.0)))
+        flat = np.frombuffer(msg[1:1 + 64 * n * n * 8], dtype=np.float32)
         q = (flat[0::2] + 1j * flat[1::2]).astype(np.complex64)
-        return BfqMessage(q=q.reshape(64, 2, 2))
+        return BfqMessage(q=q.reshape(64, n, n))
     if t == GRF.MU.value:
         mcs0, nsts0, len0 = struct.unpack("<BBH", msg[1:5])
         mcs1, nsts1, len1 = struct.unpack("<BBH", msg[5:9])

@@ -15,7 +15,6 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
-from ..mu.sounding import sta_decode_mu
 from ..rx import SisoReceiver
 from ..rx.mimo import MimoReceiver
 from ..specs import BW, F, GRF, Mod
@@ -37,8 +36,12 @@ class PhyService:
         self.amplitude = amplitude
         self.gap_len = gap_len
         self.bfq: Optional[np.ndarray] = None
-        self.siso_rx = SisoReceiver()
-        self.mimo_rx = MimoReceiver()
+        # mugid in [1, 62] arms the receivers' integrated streaming MU-STA
+        # path (rx/receiver._plan_mu_batch -> MuStaDataDecoder lanes);
+        # mugid 0 (an AP / non-group member) disables it
+        gid = mugid if 1 <= mugid <= 62 else None
+        self.siso_rx = SisoReceiver(mu_pos=mupos, mu_gid=gid)
+        self.mimo_rx = MimoReceiver(mu_pos=mupos, mu_gid=gid)
 
     # -- TX side -----------------------------------------------------------
     def handle_request(self, msg: bytes) -> Optional[np.ndarray]:
@@ -55,6 +58,10 @@ class PhyService:
                             gap=True, gap_len=self.gap_len)
         if isinstance(req, d.MuDataRequest):
             assert self.bfq is not None, "BFQ must be installed before MU TX"
+            n_sts = req.n_sts0 + req.n_sts1
+            assert self.bfq.shape[1] == n_sts, (
+                f"installed BFQ is {self.bfq.shape[1]}-stream but the MU "
+                f"request totals {n_sts} streams")
             tx = gen_ampdu_mu(
                 [req.mpdu0, req.mpdu1],
                 [Mod(F.VHT, req.mcs0, BW.BW20, req.n_sts0),
@@ -94,7 +101,9 @@ class PhyService:
                 for ndp in chain_caps:
                     records.append(d.pack_channel_report(ndp.ltf_iq))
             return records
-        # unified receiver pass: data packets AND NDP channel reports come
+        # unified receiver pass: data packets, this STA's downlink MU
+        # stream (when mugid is configured — batched MuStaDataDecoder
+        # lanes inside the same dispatch) AND NDP channel reports come
         # from ONE decode (parity: lib/decode_impl.cc:100-121 emits the
         # type-20 blob from the same chain that emits data)
         pkts, ndps = self.siso_rx.decode_capture_full(capture)
@@ -103,10 +112,6 @@ class PhyService:
                 records.append(d.pack_rx_record(r.fmt.value, mpdu, r.mcs))
         for ndp in ndps:
             records.append(d.pack_channel_report(ndp.ltf_iq))
-        if self.mugid:
-            for r in sta_decode_mu(capture, self.mupos):
-                for mpdu in r.mpdus:
-                    records.append(d.pack_rx_record(r.fmt.value, mpdu, r.mcs))
         return records
 
     # -- UDP mode (reference port pair) ------------------------------------

@@ -247,3 +247,183 @@ def _decode_mu_sigb(x2, ltf_start, cfo, mupos: int, n_sts_total: int = 2):
         return None
     crc = np.asarray(crc8_bits(list(bits[:20])), dtype=np.int64)
     return mcs, length, crc
+
+
+# ---------------------------------------------------------------------------
+# streaming, batched MU-STA decode (the receiver-integrated path)
+# ---------------------------------------------------------------------------
+# The reference decodes the station's MU stream inside its real-time demod
+# state machine (lib/demod_impl.cc:27-40 mupos/mugid ctor, :347-378 MU 2x1
+# channel estimate). The TPU-native analog below follows the same contract
+# as every other decoder lane in rx/receiver.py: one static
+# (Mod, nSym-bucket, stream_idx, nSTS-total) compilation with fixed-capacity
+# windows gathered in-graph from the device-resident capture, true symbol
+# counts traced through `n_valid` — so a stream of MU packets costs one
+# SIG-B dispatch plus one decode dispatch per group, not one compile per
+# capture length (the sta_decode_mu loop above is kept as the small
+# offline/single-shot utility).
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("wlen", "stream_idx", "n_sts_total"))
+def mu_sigb_parse_capture(cap, scale, t_abs, ltf_start, cfo, wlen: int,
+                          stream_idx: int, n_sts_total: int):
+    """Batched MU VHT-SIG-B decode over in-graph capture windows.
+
+    cap: [Npad, 2] (1 chain) or [nRx, Npad, 2] (multi-chain, MRC-combined);
+    t_abs: [G] window starts; ltf_start/cfo: [G] per-window sync results.
+    Returns [G] int32 — the 26 decoded SIG-B info bits packed LSB-first
+    (one scalar fetch per window instead of a bit-plane).
+    """
+    from ..rx.receiver import capture_windows, capture_windows_mimo
+    if cap.ndim == 3:
+        x2 = capture_windows_mimo(cap, t_abs, wlen)
+    else:
+        x2 = capture_windows(cap, t_abs, wlen)[:, None]
+    x2 = x2.astype(jnp.float32) * scale                    # [G, R, w, 2]
+    g, nrx = x2.shape[0], x2.shape[1]
+    n_ltf = int(tables.N_LTF[n_sts_total])
+    y = r2c(x2) * sync.cfo_ramp(cfo, x2.shape[2])[:, None, :]
+    yf = y.reshape(g * nrx, -1)
+    ls2 = jnp.repeat(ltf_start, nrx)
+    ltf_f = demod.fft_syms(demod.extract_symbol_windows(
+        yf, ls2 + OFF_NLLTF, n_ltf)).reshape(g, nrx, n_ltf, 64)
+    ref = jnp.asarray(demod.ltf_ref_grid(BW.BW20, False))
+    safe_ref = jnp.where(ref == 0, 1.0, ref)
+    p = tables.P_LTF_4[:max(n_sts_total, 2), :n_ltf]
+    h_u = jnp.einsum("l,brlk->brk", jnp.asarray(p[stream_idx]),
+                     ltf_f) / n_ltf / safe_ref             # [G, R, 64]
+    h_u = jnp.where((ref == 0)[None, None], 1.0 + 0j, h_u)
+    sb = demod.fft_syms(demod.extract_symbol_windows(
+        yf, ls2 + OFF_NLLTF + 80 * n_ltf, 1)).reshape(g, nrx, 64)
+    # pilots ride the SUM channel over the group's streams (every stream
+    # carries SIG-B identically through the spatial expansion)
+    pil = jnp.asarray(tables.PILOT_GRID[(BW.BW20, False)])
+    sum_h_pil = ltf_f[:, :, 0, :][..., pil] / safe_ref[pil]  # [G, R, nP]
+    pref = jnp.asarray(tables.PILOT_VHT[BW.BW20]
+                       * tables.PILOT_POLARITY[3])
+    acc = jnp.sum(sb[..., pil] * jnp.conj(sum_h_pil * pref[None, None]),
+                  axis=(1, 2))
+    ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
+    sb = sb / ph[:, None, None]
+    eq = demod.mrc_combine(sb[:, :, None, :], h_u)[:, 0]   # [G, 64]
+    llr = jnp.real(eq[..., jnp.asarray(tables.DATA_GRID[(BW.BW20, False)])])
+    if n_sts_total in (4, 7, 8):
+        llr = llr * float(tables.P_SIGB_NSTS478[stream_idx])
+    sigb_mod = Mod(F.VHT, 0, BW.BW20, 1)
+    llr = llr[..., jnp.asarray(ilv.rx_perm(sigb_mod))]
+    bits = coding.viterbi_decode(llr, CR.CR12, 26)
+    w = (1 << jnp.arange(26, dtype=jnp.int32))
+    return jnp.sum(bits.astype(jnp.int32) * w, axis=-1)
+
+
+class MuStaDataDecoder:
+    """Batched own-stream DATA decoder for downlink MU PPDUs.
+
+    Static config (Mod, nSym-bucket, stream_idx, nSTS-total); windows carry
+    1..nRx chains and the own-stream channels (P-row combining per chain,
+    lib/demod_impl.cc:347-378's 2x1 MU estimate generalized) are
+    MRC-combined — a 2-antenna STA gets array gain the reference's
+    1-antenna mupos path never had. Pilot tracking rides the group's SUM
+    channel (all streams carry the same pilots through the spatial
+    expansion). True per-packet symbol counts pass through `n_valid`; the
+    expected SIG-B CRC-8 byte is verified in-graph against the descrambled
+    SERVICE field (parity: signalParserVhtB re-encode check).
+    """
+
+    def __init__(self, mod: Mod, n_sym: int, stream_idx: int,
+                 n_sts_total: int):
+        assert mod.bw == BW.BW20 and mod.nSS == 1
+        self.mod = mod
+        self.n_sym = n_sym
+        self.stream_idx = stream_idx
+        self.n_sts = n_sts_total
+        self.n_ltf = int(tables.N_LTF[n_sts_total])
+        self.n_bits = n_sym * mod.nDBPS
+
+    def data_offset(self) -> int:
+        return OFF_NLLTF + 80 * self.n_ltf + 80            # + SIG-B
+
+    def window_capacity(self) -> int:
+        return 272 + self.data_offset() + self.n_sym * 80 + 80
+
+    def _decode(self, x2, ltf_start, cfo, n_valid, sigb_crc):
+        """x2: [B, nRx, N, 2]; sigb_crc: [B] int32 expected CRC-8 of the
+        SIG-B pre-tail bits. Returns (descrambled bits, evm, sigb_ok)."""
+        mod = self.mod
+        b, nrx = x2.shape[0], x2.shape[1]
+        y = r2c(x2) * sync.cfo_ramp(cfo, x2.shape[2])[:, None, :]
+        yf = y.reshape(b * nrx, -1)
+        ls2 = jnp.repeat(ltf_start, nrx)
+        ltf_f = demod.fft_syms(demod.extract_symbol_windows(
+            yf, ls2 + OFF_NLLTF, self.n_ltf)).reshape(
+                b, nrx, self.n_ltf, 64)
+        ref = jnp.asarray(demod.ltf_ref_grid(BW.BW20, False))
+        safe_ref = jnp.where(ref == 0, 1.0, ref)
+        p = tables.P_LTF_4[:max(self.n_sts, 2), :self.n_ltf]
+        h_u = jnp.einsum("l,brlk->brk", jnp.asarray(p[self.stream_idx]),
+                         ltf_f) / self.n_ltf / safe_ref    # [B, R, 64]
+        h_u = jnp.where((ref == 0)[None, None], 1.0 + 0j, h_u)
+        pil = jnp.asarray(tables.PILOT_GRID[(BW.BW20, False)])
+        sum_h_pil = ltf_f[:, :, 0, :][..., pil] / safe_ref[pil]
+        gd = demod.fft_syms(demod.extract_symbol_windows(
+            yf, ls2 + self.data_offset(), self.n_sym)).reshape(
+                b, nrx, self.n_sym, 64)
+        pref = jnp.asarray(np.asarray(demod.pilot_refs(mod, self.n_sym, 4)))
+        exp = sum_h_pil[:, :, None, :] * pref[None, None]  # [B, R, S, nP]
+        acc = jnp.sum(gd[..., pil] * jnp.conj(exp), axis=(1, 3))
+        ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)        # [B, S]
+        gd = gd / ph[:, None, :, None]
+        eq = demod.mrc_combine(gd, h_u)                    # [B, S, 64]
+        data = eq[..., jnp.asarray(tables.DATA_GRID[(BW.BW20, False)])]
+        sym_m = None
+        if n_valid is not None:
+            sym_m = (jnp.arange(self.n_sym, dtype=jnp.int32)[None, :]
+                     < n_valid[:, None])
+        evm = demod.evm_snr_db(data, mod.mod, sym_mask=sym_m)
+        llr = demod.demap_llr(data, mod.mod)
+        # CSI weight = post-MRC noise inverse (see demod_data_mrc)
+        wg = jnp.sum(jnp.abs(h_u) ** 2, axis=1)
+        w = wg[..., jnp.asarray(tables.DATA_GRID[(BW.BW20, False)])]
+        w = w / jnp.maximum(jnp.mean(w, axis=-1, keepdims=True), 1e-12)
+        nb = llr.shape[-1] // data.shape[-1]
+        llr = llr * jnp.repeat(w, nb, axis=-1)[:, None, :]
+        llr = llr[..., jnp.asarray(ilv.rx_perm(mod, 0))].reshape(b, -1)
+        if sym_m is not None:
+            ncbpss = llr.shape[1] // self.n_sym
+            llr = jnp.where(jnp.repeat(sym_m, ncbpss, axis=1), llr, 0.0)
+        bits = coding.viterbi_decode(llr, mod.cr, self.n_bits)
+        scr = coding.descramble(bits)
+        svc = jnp.sum(scr[:, 8:16].astype(jnp.int32)
+                      * (1 << jnp.arange(8, dtype=jnp.int32)), axis=1)
+        return scr, evm, svc == sigb_crc
+
+    def _decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
+                             n_valid, sigb_crc):
+        from ..rx.receiver import (capture_windows, capture_windows_mimo,
+                                   pack_bits_le)
+        w = self.window_capacity()
+        if cap.ndim == 3:
+            x2 = capture_windows_mimo(cap, t_abs, w)
+        else:
+            x2 = capture_windows(cap, t_abs, w)[:, None]
+        x2 = x2.astype(jnp.float32) * scale
+        bits, evm, sigb_ok = self._decode(x2, ltf_start, cfo, n_valid,
+                                          sigb_crc)
+        return pack_bits_le(bits), evm, sigb_ok
+
+    def decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
+                            n_valid, sigb_crc):
+        """Async dispatch over the device-resident capture."""
+        if not hasattr(self, "_fn_cap"):
+            self._fn_cap = jax.jit(self._decode_from_capture)
+        return self._fn_cap(cap, scale, t_abs, ltf_start, cfo, n_valid,
+                            sigb_crc)
+
+
+@lru_cache(maxsize=64)
+def get_mu_sta_data_decoder(mod: Mod, n_sym_bucket: int, stream_idx: int,
+                            n_sts_total: int) -> MuStaDataDecoder:
+    return MuStaDataDecoder(mod, n_sym_bucket, stream_idx, n_sts_total)

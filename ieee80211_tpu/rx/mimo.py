@@ -371,8 +371,10 @@ class MimoReceiver(SisoReceiver):
 
     def __init__(self, sample_rate_hz: float = 20e6, stats=None,
                  ingest: str = "auto", trigger: str = "host",
-                 detector: str = "ml"):
-        super().__init__(sample_rate_hz, stats, ingest, trigger)
+                 detector: str = "ml", mu_pos: int = 0,
+                 mu_gid: Optional[int] = None):
+        super().__init__(sample_rate_hz, stats, ingest, trigger,
+                         mu_pos=mu_pos, mu_gid=mu_gid)
         assert detector in ("ml", "zf")
         self.detector = detector
 
@@ -490,6 +492,8 @@ class MimoReceiver(SisoReceiver):
         ht_aggre = hb[:, 27].astype(bool)
         ht_sgi = hb[:, 31].astype(bool)
         v_bw = vb[:, 0] + 2 * vb[:, 1]
+        v_gid = vb[:, 4:10] @ (1 << np.arange(6, dtype=np.int64))
+        v_su = (v_gid == 0) | (v_gid == 63)   # gid 1..62 = downlink MU
         v_nsts = (vb[:, 10:13] @ (1 << np.arange(3, dtype=np.int64))) + 1
         v_sgi = vb[:, 24].astype(bool)
         v_mcs = vb[:, 28:32] @ (1 << np.arange(4, dtype=np.int64))
@@ -501,9 +505,9 @@ class MimoReceiver(SisoReceiver):
         nl_elig = lsig_data | ~lsig_ok
         pick_vht = vht_ok & (~imag_dom | ~ht_ok)
         pick_ht = ht_ok & ~pick_vht
-        is_vht = cand & nl_elig & pick_vht & lsig_data
+        is_vht = cand & nl_elig & pick_vht & lsig_data & v_su
         is_ht = cand & nl_elig & pick_ht
-        is_l = cand & lsig_ok & ~(nl_elig & (pick_vht | pick_ht))
+        is_l = (cand & lsig_ok & ~(nl_elig & (pick_vht | pick_ht)))
 
         # vectorized sizing (nES == 1 across this envelope)
         ndbps_l = np.asarray([24, 36, 48, 72, 96, 144, 192, 216],
@@ -601,7 +605,9 @@ class MimoReceiver(SisoReceiver):
             nd = self._extract_ndp(capture, p)
             if nd is not None:
                 ndps.append(nd)
-        for i, r in self._run_plans(cap_dev, scale, npad, plans):
+        futs = self._dispatch_with_mu(cap_dev, scale, npad, plans,
+                                      capture.shape[1], meta, len(t0s))
+        for i, r in self._finish_plans(futs):
             self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
             results.append(r)
         return results, ndps
@@ -668,6 +674,8 @@ class MimoReceiver(SisoReceiver):
             if not lsig_data:
                 return None          # VHT nSym derives from the L-SIG length
             bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
+            if not (gid == 0 or gid == 63):
+                return None    # downlink MU group -> _plan_mu_batch, not SU
             if bw != self.bw or sgi or not (1 <= nsts <= 4):
                 return None
             mod = Mod(F.VHT, mcs if nsts <= 2 else 0, bw, min(nsts, 2), sgi)

@@ -468,6 +468,7 @@ class PacketResult:
                               # lib/demod2_impl.cc:736-757)
     sigb_ok: Optional[bool] = None  # VHT-SIG-B CRC-8 vs SERVICE field
                                     # (None for non-VHT formats)
+    mu: bool = False          # decoded as this STA's downlink MU stream
 
 
 class SisoDataDecoder:
@@ -641,6 +642,23 @@ class _Plan:
     cfo_hz: float
     snr: float
     ndp: bool = False
+    mu: bool = False     # downlink MU PPDU (own-stream decode)
+    stream_idx: int = 0  # this STA's space-time stream index in the group
+    n_sts_tot: int = 0   # group total streams (sets nLTF / data offset)
+    sigb_crc: int = 0    # expected CRC-8 of the SIG-B pre-tail bits
+
+
+@dataclasses.dataclass
+class _MuCand:
+    """An MU candidate window awaiting its SIG-B (mcs, len) decode."""
+    win_start: int
+    ltf_start: int
+    cfo: float
+    cfo_hz: float
+    snr: float
+    n_sym: int
+    stream_idx: int
+    n_sts_tot: int
 
 
 class SisoReceiver:
@@ -658,7 +676,14 @@ class SisoReceiver:
     """
 
     def __init__(self, sample_rate_hz: float = 20e6, stats=None,
-                 ingest: str = "auto", trigger: str = "host"):
+                 ingest: str = "auto", trigger: str = "host",
+                 mu_pos: int = 0, mu_gid: Optional[int] = None):
+        """mu_pos/mu_gid: this station's MU-MIMO group position and group
+        id (parity: the demod block's mupos/mugid parameters,
+        grc/ieee80211_demod.block.yml). When mu_gid is set, downlink MU
+        PPDUs addressed to that group decode in the same batched streaming
+        passes as SU traffic (mu/sounding.MuStaDataDecoder lanes); when
+        None (default), MU planning is skipped at zero cost."""
         self.fs = sample_rate_hz
         self.q = int(round(sample_rate_hz / 20e6))
         if self.q not in (1, 2, 4):
@@ -670,6 +695,8 @@ class SisoReceiver:
         self.bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[self.q]
         self.ingest = ingest
         self.trigger = trigger
+        self.mu_pos = mu_pos
+        self.mu_gid = mu_gid
         from ..utils.metrics import DecodeStats
         self.stats = stats if stats is not None else DecodeStats()
 
@@ -815,7 +842,9 @@ class SisoReceiver:
             plans, ndp_plans = self._plan_batch(caps[k].shape[-1], meta,
                                                len(t0s))
             self._surface_stream_ndps(k, caps[k], ndp_plans)
-            st3[k] = self._dispatch_plans(cap_dev, scale, npad, plans)
+            st3[k] = self._dispatch_with_mu(cap_dev, scale, npad, plans,
+                                            caps[k].shape[-1], meta,
+                                            len(t0s))
             st2[k] = None
 
         out: List[List[PacketResult]] = [[] for _ in range(n)]
@@ -881,7 +910,9 @@ class SisoReceiver:
         plans, ndp_plans = self._plan_batch(len(capture), meta, len(t0s))
         for p in ndp_plans:
             ndps.append(self._extract_ndp(capture, p))
-        for i, r in self._run_plans(cap_dev, scale, npad, plans):
+        futs = self._dispatch_with_mu(cap_dev, scale, npad, plans,
+                                      len(capture), meta, len(t0s))
+        for i, r in self._finish_plans(futs):
             self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
             results.append(r)
         return results, [n for n in ndps if n is not None]
@@ -921,7 +952,8 @@ class SisoReceiver:
             plans, ndp_plans = self._plan_batch(caps[k].shape[-1], meta,
                                                len(t0s))
             self._surface_stream_ndps(k, caps[k], ndp_plans)
-            return self._dispatch_plans(cap_dev, scale, npad, plans)
+            return self._dispatch_with_mu(cap_dev, scale, npad, plans,
+                                          caps[k].shape[-1], meta, len(t0s))
 
         # The ingest pass (native scan+quantize, releases the GIL) runs on
         # a worker thread one capture ahead, while the main thread plans
@@ -1065,10 +1097,15 @@ class SisoReceiver:
         group (async). Returns futs for _finish_plans."""
         groups: dict = {}
         for i, p in plans:
-            groups.setdefault((p.mod, _bucket(p.n_sym)), []).append((i, p))
+            groups.setdefault((p.mod, _bucket(p.n_sym), p.mu, p.stream_idx,
+                               p.n_sts_tot), []).append((i, p))
         futs = []
-        for (mod, nb), items in groups.items():
-            dec = self._decoder_for(mod, nb)
+        for (mod, nb, mu, si, nt), items in groups.items():
+            if mu:
+                from ..mu.sounding import get_mu_sta_data_decoder
+                dec = get_mu_sta_data_decoder(mod, nb, si, nt)
+            else:
+                dec = self._decoder_for(mod, nb)
             w = dec.window_capacity()
             g = len(items)
             gp = next_pow2(g)
@@ -1076,20 +1113,24 @@ class SisoReceiver:
             ltf = np.zeros(gp, np.int32)
             cfo = np.zeros(gp, np.float32)
             nv = np.ones(gp, np.int32)
+            crc = np.zeros(gp, np.int32)
             for j, (i, p) in enumerate(items):
                 tc = min(p.win_start, npad - w)
                 t_abs[j] = tc
                 ltf[j] = p.ltf_start + (p.win_start - tc)
                 cfo[j] = p.cfo
                 nv[j] = p.n_sym
+                crc[j] = p.sigb_crc
             if gp > g:       # pad rows replicate row 0 (results ignored)
                 t_abs[g:] = t_abs[0]
                 ltf[g:] = ltf[0]
                 cfo[g:] = cfo[0]
                 nv[g:] = nv[0]
-            out = dec.decode_from_capture(
-                cap_dev, scale, jnp.asarray(t_abs), jnp.asarray(ltf),
-                jnp.asarray(cfo), jnp.asarray(nv))
+                crc[g:] = crc[0]
+            args = (cap_dev, scale, jnp.asarray(t_abs), jnp.asarray(ltf),
+                    jnp.asarray(cfo), jnp.asarray(nv))
+            out = (dec.decode_from_capture(*args, jnp.asarray(crc))
+                   if mu else dec.decode_from_capture(*args))
             futs.append((items, out))
         # start ALL device->host copies before blocking on any: the relay
         # round-trip (~30 ms) is paid once for the whole capture instead of
@@ -1110,6 +1151,11 @@ class SisoReceiver:
             sb = np.asarray(sigb).tolist()
             per_stream = ev and isinstance(ev[0], list)
             for j, (i, p) in enumerate(items):
+                if p.mu and not sb[j]:
+                    # MU SIG-B CRC-8 mismatch vs the SERVICE field: the
+                    # (mcs, len) decode is unreliable — drop, as the
+                    # reference does (signalParserVhtB)
+                    continue
                 psdu = pb[j, 2:2 + p.psdu_len].tobytes()
                 if per_stream:
                     ev_j = ev[j]
@@ -1118,10 +1164,12 @@ class SisoReceiver:
                 else:
                     evm_j = ev[j]
                     sssnr = (evm_j,)
-                collected.append((i, assemble_psdu(
+                r = assemble_psdu(
                     p.mod.fmt, p.mod, psdu, p.ampdu, p.cfo_hz, p.snr,
                     evm_j, sssnr=sssnr,
-                    sigb_ok=(sb[j] if p.mod.fmt == F.VHT else None))))
+                    sigb_ok=(sb[j] if p.mod.fmt == F.VHT else None))
+                r.mu = p.mu
+                collected.append((i, r))
         collected.sort(key=lambda t: t[0])
         return collected
 
@@ -1130,6 +1178,135 @@ class SisoReceiver:
         PacketResult)] in trigger order."""
         return self._finish_plans(
             self._dispatch_plans(cap_dev, scale, npad, plans))
+
+    def _dispatch_with_mu(self, cap_dev, scale, npad, plans, cap_len, meta,
+                          n):
+        """SU dispatch plus (when mu_gid is configured) the two-stage MU
+        chain — the MU SIG-B round trip overlaps the SU decode dispatches.
+        Returns futs for _finish_plans."""
+        mu_cands = self._plan_mu_batch(cap_len, meta, n)
+        sigb_futs = (self._dispatch_mu_sigb(cap_dev, scale, npad, mu_cands)
+                     if mu_cands else [])
+        futs = self._dispatch_plans(cap_dev, scale, npad, plans)
+        if sigb_futs:
+            futs += self._dispatch_plans(cap_dev, scale, npad,
+                                         self._plan_mu_data(sigb_futs))
+        return futs
+
+    # -- downlink MU-STA decode (streaming, batched) -----------------------
+    # The reference decodes the station's MU stream inside its demod state
+    # machine (lib/demod_impl.cc:27-40 mupos/mugid, :347-378). Here MU
+    # windows detected during planning go through a batched SIG-B lane
+    # (one dispatch per (stream_idx, nSTS) group, one packed-scalar fetch)
+    # to learn each packet's (mcs, len), then through bucketed
+    # MuStaDataDecoder lanes exactly like every other decoder group.
+
+    def _plan_mu_batch(self, cap_len: int, meta, n: int):
+        """MU candidate windows: VHT SIG-A with gid == self.mu_gid whose
+        group layout gives this station a single stream. Returns
+        [(i, _MuCand)] for _dispatch_mu_sigb."""
+        if self.mu_gid is None or self.q != 1:
+            return []
+        lsig_ok = np.asarray(meta["lsig_ok"][:n]).astype(bool)
+        vht_ok = np.asarray(meta["vht_ok"][:n]).astype(bool)
+        snr = np.asarray(meta["snr"][:n], np.float64)
+        l_mcs = np.asarray(meta["l_mcs"][:n], np.int64)
+        l_len = np.asarray(meta["l_len"][:n], np.int64)
+        vb = np.asarray(meta["vht_bits"][:n], np.int64)
+        gid = vb[:, 4:10] @ (1 << np.arange(6, dtype=np.int64))
+        v_bw = vb[:, 0] + 2 * vb[:, 1]
+        v_sgi = vb[:, 24].astype(bool)
+        # per-user NSTS fields: 4 users x 3 bits at SIG-A bits 10..21
+        nsts_u = np.stack([vb[:, 10 + 3 * u:13 + 3 * u]
+                           @ (1 << np.arange(3, dtype=np.int64))
+                           for u in range(4)], axis=1)      # [n, 4]
+        n_tot = nsts_u.sum(axis=1)
+        cand = (lsig_ok & vht_ok & (snr > 0.0) & (l_mcs == 0)
+                & (gid == self.mu_gid) & (v_bw == int(BW.BW20)) & ~v_sgi
+                & (nsts_u[:, self.mu_pos] == 1)
+                & (n_tot >= 1) & (n_tot <= 4))
+        if not np.any(cand):
+            return []
+        win_start = np.asarray(meta["win_start"][:n], np.int64)
+        ltf_start = np.asarray(meta["ltf_start"][:n], np.int64)
+        cfo = np.asarray(meta["cfo"][:n], np.float64)
+        cfo_hz = cfo * self.fs / (2 * np.pi) * -1.0
+        n_ltf = np.asarray(tables.N_LTF)[np.minimum(n_tot, 4)]
+        n_sym_l = -(-(l_len * 8 + 16 + 6) // 24)
+        n_sym = n_sym_l - 2 - 1 - n_ltf - 1
+        stream_idx = np.concatenate(
+            [np.zeros((n, 1), np.int64),
+             np.cumsum(nsts_u, axis=1)[:, :-1]], axis=1)[:, self.mu_pos]
+        out = []
+        for i in np.flatnonzero(cand):
+            if n_sym[i] <= 0:
+                continue            # MU NDPs don't exist; gid'd NDP = junk
+            ext = (int(ltf_start[i]) + 448 + 80 * int(n_ltf[i]) + 160
+                   + int(n_sym[i]) * 80)
+            if int(win_start[i]) + ext > cap_len:
+                continue
+            out.append((i, _MuCand(int(win_start[i]), int(ltf_start[i]),
+                                   float(cfo[i]), float(cfo_hz[i]),
+                                   float(snr[i]), int(n_sym[i]),
+                                   int(stream_idx[i]), int(n_tot[i]))))
+        return out
+
+    def _dispatch_mu_sigb(self, cap_dev, scale, npad, mu_cands):
+        """Batched SIG-B decode per (stream_idx, nSTS-total) group (async;
+        copy_to_host_async already issued). Returns futs for _plan_mu_data."""
+        from ..mu.sounding import mu_sigb_parse_capture
+        groups: dict = {}
+        for i, c in mu_cands:
+            groups.setdefault((c.stream_idx, c.n_sts_tot), []).append((i, c))
+        futs = []
+        for (si, nt), items in groups.items():
+            wlen = 272 + 448 + 80 * int(tables.N_LTF[nt]) + 160
+            g = len(items)
+            gp = next_pow2(g)
+            t_abs = np.zeros(gp, np.int32)
+            ltf = np.zeros(gp, np.int32)
+            cfo = np.zeros(gp, np.float32)
+            for j, (i, c) in enumerate(items):
+                tc = min(c.win_start, npad - wlen)
+                t_abs[j] = tc
+                ltf[j] = c.ltf_start + (c.win_start - tc)
+                cfo[j] = c.cfo
+            if gp > g:
+                t_abs[g:] = t_abs[0]
+                ltf[g:] = ltf[0]
+                cfo[g:] = cfo[0]
+            words = mu_sigb_parse_capture(
+                cap_dev, scale, jnp.asarray(t_abs), jnp.asarray(ltf),
+                jnp.asarray(cfo), wlen=wlen, stream_idx=si, n_sts_total=nt)
+            words.copy_to_host_async()
+            futs.append((items, words))
+        return futs
+
+    def _plan_mu_data(self, sigb_futs):
+        """Fetch the SIG-B words, apply the (mcs, len) gates, and build
+        the final MU _Plans for _dispatch_plans."""
+        plans = []
+        for items, words in sigb_futs:
+            wd = np.asarray(words)
+            for j, (i, c) in enumerate(items):
+                bits = (wd[j] >> np.arange(26)) & 1
+                mcs = int(bits[16:20] @ (1 << np.arange(4)))
+                try:
+                    mod = Mod(F.VHT, mcs, BW.BW20, 1)
+                except ValueError:
+                    continue          # invalid 20 MHz 1-SS MCS
+                psdu_len = (c.n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
+                if (c.n_sym * mod.nDBPS > 33000 or psdu_len > 4095
+                        or psdu_len <= 0):
+                    continue
+                crc = int(np.asarray(crc8_bits(list(bits[:20])))
+                          @ (1 << np.arange(8)))
+                plans.append((i, _Plan(
+                    mod, c.n_sym, psdu_len, True, c.win_start, c.ltf_start,
+                    c.cfo, c.cfo_hz, c.snr, mu=True,
+                    stream_idx=c.stream_idx, n_sts_tot=c.n_sts_tot,
+                    sigb_crc=crc)))
+        return plans
 
     def _plan_batch(self, cap_len: int, meta, n: int):
         """Vectorized packet planning over all n trigger windows.
@@ -1164,6 +1341,9 @@ class SisoReceiver:
         ht_aggre = hb[:, 27].astype(bool)
         ht_sgi = hb[:, 31].astype(bool)
         v_bw = vb[:, 0] + 2 * vb[:, 1]
+        v_gid = vb[:, 4:10] @ (1 << np.arange(6, dtype=np.int64))
+        v_su = (v_gid == 0) | (v_gid == 63)   # gid 1..62 = downlink MU
+                                              # (-> _plan_mu_batch, not SU)
         v_nsts = (vb[:, 10:13] @ (1 << np.arange(3, dtype=np.int64))) + 1
         v_sgi = vb[:, 24].astype(bool)
         v_mcs = vb[:, 28:32] @ (1 << np.arange(4, dtype=np.int64))
@@ -1171,9 +1351,9 @@ class SisoReceiver:
         pick_vht = vht_ok & (~imag_dom | ~ht_ok)
         pick_ht = ht_ok & ~pick_vht
         is_nl = cand & (l_mcs == 0)
-        is_vht = is_nl & pick_vht
+        is_vht = is_nl & pick_vht & v_su
         is_ht = is_nl & pick_ht
-        is_l = cand & ~is_vht & ~is_ht
+        is_l = cand & ~is_vht & ~is_ht & ~(is_nl & pick_vht & ~v_su)
         # VHT nSym budget from the spoofed L-SIG length (vectorized)
         v_nltf = np.asarray(tables.N_LTF)[np.minimum(v_nsts, 4)]
         v_nsym_l = -(-(l_len * 8 + 16 + 6) // 24)
@@ -1311,6 +1491,8 @@ class SisoReceiver:
                          cfo, cfo_hz, snr)
         # VHT
         bw, gid, nsts, paid, sgi, mcs = parse_vht_siga(meta["vht_bits"][i])
+        if not (gid == 0 or gid == 63):
+            return None    # downlink MU group -> _plan_mu_batch, not SU
         if bw != self.bw or sgi or not (1 <= nsts <= 4):
             return None
         # NDP check BEFORE the nSTS gate: a sounding NDP announces the
