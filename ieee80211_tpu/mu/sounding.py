@@ -349,16 +349,20 @@ class MuStaDataDecoder:
     def window_capacity(self) -> int:
         return 272 + self.data_offset() + self.n_sym * 80 + 80
 
-    def _decode(self, x2, ltf_start, cfo, n_valid, sigb_crc):
-        """x2: [B, nRx, N, 2]; sigb_crc: [B] int32 expected CRC-8 of the
-        SIG-B pre-tail bits. Returns (descrambled bits, evm, sigb_ok)."""
+    def zlen(self) -> int:
+        """Aligned-window length (see rx SisoDataDecoder.zlen)."""
+        return 32 + self.data_offset() + 80 * self.n_sym
+
+    def _decode_z(self, z, n_valid, sigb_crc):
+        """z: [B, nRx, zlen] complex, CFO-corrected, aligned at
+        ltf_start - 16; sigb_crc: [B] int32 expected CRC-8 of the SIG-B
+        pre-tail bits. Returns (descrambled bits, evm, sigb_ok)."""
         mod = self.mod
-        b, nrx = x2.shape[0], x2.shape[1]
-        y = r2c(x2) * sync.cfo_ramp(cfo, x2.shape[2])[:, None, :]
-        yf = y.reshape(b * nrx, -1)
-        ls2 = jnp.repeat(ltf_start, nrx)
-        ltf_f = demod.fft_syms(demod.extract_symbol_windows(
-            yf, ls2 + OFF_NLLTF, self.n_ltf)).reshape(
+        gi, sh = 16, 8
+        b, nrx = z.shape[0], z.shape[1]
+        yf = z.reshape(b * nrx, -1)
+        ltf_f = demod.fft_syms(demod.static_symbol_windows(
+            yf, gi + OFF_NLLTF, self.n_ltf)).reshape(
                 b, nrx, self.n_ltf, 64)
         ref = jnp.asarray(demod.ltf_ref_grid(BW.BW20, False))
         safe_ref = jnp.where(ref == 0, 1.0, ref)
@@ -368,8 +372,8 @@ class MuStaDataDecoder:
         h_u = jnp.where((ref == 0)[None, None], 1.0 + 0j, h_u)
         pil = jnp.asarray(tables.PILOT_GRID[(BW.BW20, False)])
         sum_h_pil = ltf_f[:, :, 0, :][..., pil] / safe_ref[pil]
-        gd = demod.fft_syms(demod.extract_symbol_windows(
-            yf, ls2 + self.data_offset(), self.n_sym)).reshape(
+        gd = demod.fft_syms(demod.static_symbol_windows(
+            yf, gi + self.data_offset(), self.n_sym)).reshape(
                 b, nrx, self.n_sym, 64)
         pref = jnp.asarray(np.asarray(demod.pilot_refs(mod, self.n_sym, 4)))
         exp = sum_h_pil[:, :, None, :] * pref[None, None]  # [B, R, S, nP]
@@ -404,14 +408,15 @@ class MuStaDataDecoder:
                              n_valid, sigb_crc):
         from ..rx.receiver import (capture_windows, capture_windows_mimo,
                                    pack_bits_le)
-        w = self.window_capacity()
+        zl = self.zlen()
+        ta = t_abs + ltf_start - 16
         if cap.ndim == 3:
-            x2 = capture_windows_mimo(cap, t_abs, w)
+            x2 = capture_windows_mimo(cap, ta, zl)
         else:
-            x2 = capture_windows(cap, t_abs, w)[:, None]
+            x2 = capture_windows(cap, ta, zl)[:, None]
         x2 = x2.astype(jnp.float32) * scale
-        bits, evm, sigb_ok = self._decode(x2, ltf_start, cfo, n_valid,
-                                          sigb_crc)
+        z = r2c(x2) * sync.cfo_ramp(cfo, zl)[:, None, :]
+        bits, evm, sigb_ok = self._decode_z(z, n_valid, sigb_crc)
         return pack_bits_le(bits), evm, sigb_ok
 
     def decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,

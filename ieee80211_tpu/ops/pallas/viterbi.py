@@ -54,17 +54,22 @@ def _w_cat(k: int) -> np.ndarray:
 
 
 def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
-            pack: int = 1, renorm: int = 1, dt=jnp.float32):
+            pack: int = 1, renorm: int = 1, dt=jnp.float32,
+            llr_dt=None):
     """pack = trellis blocks per survivor byte (k*pack <= 8): decisions are
     shift-packed into one int8 plane every `pack` steps, cutting survivor
     VMEM by pack x (what allows whole-batch tiles). renorm = metric renorm
     period in blocks (growth per block <= 2k*max|LLR| — renorming every
-    step is wasted vector work). dt = STORAGE dtype for the metric plane,
-    the LLR double buffer and wmat: bfloat16 halves the LLR DMA traffic
-    and metric VMEM. All per-step COMPUTE (branch metrics, add, compare,
-    select, renorm) runs in float32 regardless of dt — Mosaic on this
-    target rejects bf16 arith.cmpf, and f32 compute avoids every such
-    hazard while keeping the memory savings."""
+    step is wasted vector work). dt = STORAGE dtype for the metric plane
+    and wmat: bfloat16 halves the metric VMEM. llr_dt (defaults to dt) =
+    dtype of the LLR double buffer and its HBM DMA — int8 cuts the LLR
+    DMA traffic 4x vs f32 (the caller pre-scales rows to +-126). All
+    per-step COMPUTE (branch metrics, add, compare, select, renorm) runs
+    in float32 regardless — Mosaic on this target rejects bf16
+    arith.cmpf, and f32 compute avoids every such hazard while keeping
+    the memory savings."""
+    if llr_dt is None:
+        llr_dt = dt
     npaths = 1 << k
     n_low = 64 // npaths
     n_ch = n_blk // chunk
@@ -102,8 +107,8 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
             def fwd_step(tt, _):
                 t = c * chunk + tt
                 lb = buf[slot, tt]                  # [k, 2, TB]
-                llr2 = lb.reshape(2 * k, TB)
-                bm = jnp.dot(wmat, llr2,
+                llr2 = lb.reshape(2 * k, TB).astype(jnp.float32)
+                bm = jnp.dot(wmat.astype(jnp.float32), llr2,
                              preferred_element_type=jnp.float32)
                 m = m_ref[:].astype(jnp.float32)
                 # state s = hi * n_low + lo; predecessor of (s, path) is
@@ -185,9 +190,11 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
 @lru_cache(maxsize=None)
 def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
                 pack: int = 1, renorm: int = 1, dt=jnp.float32,
-                interpret: bool = False):
+                interpret: bool = False, llr_dt=None):
+    if llr_dt is None:
+        llr_dt = dt
     npaths = 1 << k
-    kern = _kernel(n_blk, chunk, k, TB, pack, renorm, dt)
+    kern = _kernel(n_blk, chunk, k, TB, pack, renorm, dt, llr_dt)
     return pl.pallas_call(
         kern,
         interpret=interpret,
@@ -203,7 +210,7 @@ def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
             pltpu.VMEM((n_blk // pack, 64, TB), jnp.int8),  # survivors
             pltpu.VMEM((64, TB), dt),                       # metrics
             pltpu.VMEM((64, TB), jnp.int32),                # pack acc
-            pltpu.VMEM((2, chunk, k, 2, TB), dt),           # llr double buf
+            pltpu.VMEM((2, chunk, k, 2, TB), llr_dt),       # llr double buf
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -240,6 +247,8 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
     backend — the CPU-CI numerics gate for every exposed config (the bf16
     default regression of round 1 would have been caught here)."""
     dt = dtype if dtype is not None else DTYPE
+    int8_llr = dt == jnp.int8        # int8 LLR DMA; metrics/compute f32
+    met_dt = jnp.float32 if int8_llr else dt
     if radix is None:
         radix = RADIX
     if tb is None:
@@ -257,6 +266,13 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
     while tb > 128 and n_blk // pack * 64 * tb > 80 * 1024 * 1024:
         tb //= 2
     t_pad = n_blk * k
+    if int8_llr:
+        # per-row prescale to +-126: Viterbi decisions are scale-invariant
+        # per packet, so only the 8-bit rounding (<= -48 dB on the largest
+        # LLR) is lost; depunctured zeros stay exactly 0
+        s = 126.0 / jnp.maximum(
+            jnp.max(jnp.abs(llrs), axis=1, keepdims=True), 1e-20)
+        llrs = llrs * s
     lp = depuncture(llrs, cr, n_bits)                      # [B, n_bits, 2]
     if t_pad != n_bits:
         lp = jnp.pad(lp, ((0, 0), (0, t_pad - n_bits), (0, 0)))
@@ -264,11 +280,14 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
     if b_pad != b:
         lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
     # [B, T, 2] -> [nBlk, k, 2, B]
-    ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, k, 2), 0, -1).astype(dt)
+    ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, k, 2), 0, -1)
+    ltr = (jnp.round(ltr).astype(jnp.int8) if int8_llr
+           else ltr.astype(dt))
     chunk = _pick_chunk(n_blk, pack)
-    call = _build_call(n_blk, chunk, k, b_pad // tb, tb, pack, renorm, dt,
-                       interpret)
-    wmat = jnp.asarray(_w_cat(k)).astype(dt)
+    call = _build_call(n_blk, chunk, k, b_pad // tb, tb, pack, renorm,
+                       met_dt, interpret,
+                       llr_dt=jnp.int8 if int8_llr else None)
+    wmat = jnp.asarray(_w_cat(k)).astype(met_dt)
     packed = call(ltr, wmat)                               # [nBlk, B] int32
     packed = jnp.moveaxis(packed, 0, 1)[:b]                # [B, nBlk]
     bits = (packed[:, :, None] >> jnp.arange(k, dtype=jnp.int32)) & 1

@@ -81,23 +81,23 @@ class MimoDataDecoder:
             off = OFF_NLLTF + 80 * n_ltf + 80    # VHT: + SIG-B
         return off * self.q
 
-    def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
-                cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
-        """x2: [B, nRx=2, N, 2] float32; ltf_start, cfo: [B];
-        n_valid: optional [B] int32 true symbol counts (<= self.n_sym).
-        Returns (descrambled bits [B, n_bits], evm_snr_db [B])."""
+    def zlen(self) -> int:
+        """Aligned-window length (index 0 == ltf_start - gi; see
+        SisoDataDecoder.zlen — static slicing replaces per-packet gathers)."""
+        return 32 * self.q + self.data_offset() + 80 * self.q * self.n_sym
+
+    def _decode_z(self, z: jnp.ndarray, n_valid: jnp.ndarray = None):
+        """z: [B, nRx=2, zlen] complex, CFO-corrected, aligned at
+        ltf_start - gi. Returns (descrambled bits, evm, sigb_ok)."""
         mod = self.mod
         q = self.q
         nfft, gi, sh = 64 * q, 16 * q, 8 * q
-        b = x2.shape[0]
-        x = r2c(x2)                                       # [B, 2, N]
-        y = x * sync.cfo_ramp(cfo, x.shape[-1])[:, None, :]
-        yf = y.reshape(b * 2, -1)
-        ls2 = jnp.repeat(ltf_start, 2)
+        b = z.shape[0]
+        yf = z.reshape(b * 2, -1)
 
         # both chains' NL-LTF symbols -> [B, nRx, nLtf, nfft]
-        ltf_t = demod.extract_symbol_windows(yf, ls2 + OFF_NLLTF * q, 2,
-                                             nfft=nfft, gi=gi, shift=sh)
+        ltf_t = demod.static_symbol_windows(yf, gi + OFF_NLLTF * q, 2,
+                                            nfft=nfft, gi=gi, shift=sh)
         ltf_f = demod.fft_syms(ltf_t).reshape(b, 2, 2, nfft)
         h = demod.mimo_chan_est_2x2(ltf_f, mod.bw, vht=mod.fmt == F.VHT)
         # h: [B, 64, nRx, nSTS]; at VHT pilot tones this holds sumH/ref in
@@ -110,8 +110,8 @@ class MimoDataDecoder:
         sum_h_pil = ltf1_pil / ref[pil_bins][None, None, :]
 
         # data symbols on both chains
-        gd = demod.fft_syms(demod.extract_symbol_windows(
-            yf, ls2 + self.data_offset(), self.n_sym,
+        gd = demod.fft_syms(demod.static_symbol_windows(
+            yf, gi + self.data_offset(), self.n_sym,
             nfft=nfft, gi=gi, shift=sh)).reshape(
                 b, 2, self.n_sym, nfft)
         pidx0 = 3 if mod.fmt == F.HT else 4
@@ -191,8 +191,8 @@ class MimoDataDecoder:
             from .receiver import decode_vht_sigb, sigb_service_crc_ok
             safe_ref = jnp.where(ref == 0, 1.0, ref)
             sum_h = ltf_f[:, :, 0, :] / safe_ref[None, None, :]
-            sb = demod.fft_syms(demod.extract_symbol_windows(
-                yf, ls2 + self.data_offset() - 80 * q, 1,
+            sb = demod.fft_syms(demod.static_symbol_windows(
+                yf, gi + self.data_offset() - 80 * q, 1,
                 nfft=nfft, gi=gi, shift=sh)).reshape(b, 2, nfft)
             eq = demod.mrc_combine(sb[:, :, None, :], sum_h)[:, 0]
             pref = jnp.asarray(tables.PILOT_VHT[mod.bw]
@@ -205,6 +205,17 @@ class MimoDataDecoder:
             sigb_ok = jnp.ones(b, dtype=bool)
         return scr, evm, sigb_ok
 
+    def _decode(self, x2, ltf_start, cfo, n_valid=None):
+        """x2: [B, nRx=2, N, 2] float32 windows; one aligned slice per
+        chain, then the static decode."""
+        gi = 16 * self.q
+        b = x2.shape[0]
+        zl = self.zlen()
+        z2 = sync.batch_slice_iq(x2.reshape(b * 2, x2.shape[2], 2),
+                                 jnp.repeat(ltf_start - gi, 2), zl)
+        z = r2c(z2).reshape(b, 2, zl) * sync.cfo_ramp(cfo, zl)[:, None, :]
+        return self._decode_z(z, n_valid)
+
     def decode(self, x2, ltf_start, cfo, n_valid=None):
         bits, evm, _ = self._fn(x2, ltf_start, cfo, n_valid)
         return np.asarray(bits), np.asarray(evm)
@@ -216,9 +227,12 @@ class MimoDataDecoder:
     def _decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
                              n_valid):
         from .receiver import capture_windows_mimo, pack_bits_le
-        w = self.window_capacity()
-        x2 = capture_windows_mimo(cap, t_abs, w).astype(jnp.float32) * scale
-        bits, evm, sigb_ok = self._decode(x2, ltf_start, cfo, n_valid)
+        gi = 16 * self.q
+        zl = self.zlen()
+        x2 = capture_windows_mimo(cap, t_abs + ltf_start - gi,
+                                  zl).astype(jnp.float32) * scale
+        z = r2c(x2) * sync.cfo_ramp(cfo, zl)[:, None, :]
+        bits, evm, sigb_ok = self._decode_z(z, n_valid)
         return pack_bits_le(bits), evm, sigb_ok
 
     def decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
@@ -264,31 +278,32 @@ class MrcDataDecoder:
             off = OFF_NLLTF + 80 * self.mod.nLTF + 80   # VHT: + SIG-B
         return off * self.q
 
-    def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
-                cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
-        """x2: [B, nRx, N, 2] float32; returns (descrambled bits, evm)."""
+    def zlen(self) -> int:
+        """Aligned-window length (see SisoDataDecoder.zlen)."""
+        return 32 * self.q + self.data_offset() + 80 * self.q * self.n_sym
+
+    def _decode_z(self, z: jnp.ndarray, n_valid: jnp.ndarray = None):
+        """z: [B, nRx, zlen] complex, CFO-corrected, aligned at
+        ltf_start - gi; static slicing only (see SisoDataDecoder)."""
         mod = self.mod
         q = self.q
         nfft, gi, sh = 64 * q, 16 * q, 8 * q
-        b, nrx = x2.shape[0], x2.shape[1]
-        x = r2c(x2)                                       # [B, nRx, N]
-        y = x * sync.cfo_ramp(cfo, x.shape[-1])[:, None, :]
-        yf = y.reshape(b * nrx, -1)
-        ls2 = jnp.repeat(ltf_start, nrx)
+        b, nrx = z.shape[0], z.shape[1]
+        yf = z.reshape(b * nrx, -1)
         if mod.fmt == F.L:
-            ltf_t = demod.extract_symbol_windows(
-                yf, ls2 - gi, 2, nfft=nfft, gi=gi, shift=sh, stride=nfft)
+            ltf_t = demod.static_symbol_windows(
+                yf, 0, 2, nfft=nfft, gi=gi, shift=sh, stride=nfft)
             chan = demod.legacy_chan_est(
                 demod.fft_syms(ltf_t), mod.bw).reshape(b, nrx, nfft)
             pidx0 = 1
         else:
-            ltf_t = demod.extract_symbol_windows(
-                yf, ls2 + OFF_NLLTF * q, 1, nfft=nfft, gi=gi, shift=sh)
+            ltf_t = demod.static_symbol_windows(
+                yf, gi + OFF_NLLTF * q, 1, nfft=nfft, gi=gi, shift=sh)
             chan = demod.nonlegacy_chan_est_siso(
                 demod.fft_syms(ltf_t)[:, 0], mod.bw).reshape(b, nrx, nfft)
             pidx0 = 3 if mod.fmt == F.HT else 4
-        gd = demod.fft_syms(demod.extract_symbol_windows(
-            yf, ls2 + self.data_offset(), self.n_sym,
+        gd = demod.fft_syms(demod.static_symbol_windows(
+            yf, gi + self.data_offset(), self.n_sym,
             nfft=nfft, gi=gi, shift=sh)).reshape(b, nrx, self.n_sym, nfft)
         llrs, evm = demod.demod_data_mrc(gd, chan, mod, self.n_sym, pidx0,
                                          with_snr=True, n_valid_sym=n_valid)
@@ -296,8 +311,8 @@ class MrcDataDecoder:
         scr = coding.descramble(bits)
         if mod.fmt == F.VHT:
             from .receiver import decode_vht_sigb, sigb_service_crc_ok
-            sb = demod.fft_syms(demod.extract_symbol_windows(
-                yf, ls2 + self.data_offset() - 80 * q, 1,
+            sb = demod.fft_syms(demod.static_symbol_windows(
+                yf, gi + self.data_offset() - 80 * q, 1,
                 nfft=nfft, gi=gi, shift=sh)).reshape(b, nrx, nfft)
             eq = demod.mrc_combine(sb[:, :, None, :], chan)[:, 0]
             pil = jnp.asarray(tables.PILOT_GRID[(mod.bw, False)])
@@ -311,6 +326,18 @@ class MrcDataDecoder:
             sigb_ok = jnp.ones(b, dtype=bool)
         return scr, evm, sigb_ok
 
+    def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
+                cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
+        """x2: [B, nRx, N, 2] float32; one aligned slice per chain, then
+        the static decode."""
+        gi = 16 * self.q
+        b, nrx = x2.shape[0], x2.shape[1]
+        zl = self.zlen()
+        z2 = sync.batch_slice_iq(x2.reshape(b * nrx, x2.shape[2], 2),
+                                 jnp.repeat(ltf_start - gi, nrx), zl)
+        z = r2c(z2).reshape(b, nrx, zl) * sync.cfo_ramp(cfo, zl)[:, None, :]
+        return self._decode_z(z, n_valid)
+
     def decode(self, x2, ltf_start, cfo, n_valid=None):
         bits, evm, _ = self._fn(x2, ltf_start, cfo, n_valid)
         return np.asarray(bits), np.asarray(evm)
@@ -322,9 +349,12 @@ class MrcDataDecoder:
     def _decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
                              n_valid):
         from .receiver import capture_windows_mimo, pack_bits_le
-        w = self.window_capacity()
-        x2 = capture_windows_mimo(cap, t_abs, w).astype(jnp.float32) * scale
-        bits, evm, sigb_ok = self._decode(x2, ltf_start, cfo, n_valid)
+        gi = 16 * self.q
+        zl = self.zlen()
+        x2 = capture_windows_mimo(cap, t_abs + ltf_start - gi,
+                                  zl).astype(jnp.float32) * scale
+        z = r2c(x2) * sync.cfo_ramp(cfo, zl)[:, None, :]
+        bits, evm, sigb_ok = self._decode_z(z, n_valid)
         return pack_bits_le(bits), evm, sigb_ok
 
     def decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
@@ -355,6 +385,11 @@ def merge_triggers(per_chain: List[np.ndarray], dedup_gap: int) -> np.ndarray:
     return np.asarray(merged, dtype=np.int64)
 
 
+class _FutsWithCtx(list):
+    """Dispatch futs plus the capture refs needed for a retry pass."""
+    ctx = None
+
+
 class MimoReceiver(SisoReceiver):
     """Auto-detecting universal dual-chain receiver over captures [2, N].
 
@@ -364,18 +399,26 @@ class MimoReceiver(SisoReceiver):
     group — 2x2 plans through the MIMO detector, legacy/SISO plans
     through the MRC decoder.
 
-    detector: "ml" (exact max-log, decodes through ill-conditioned
-    channels the ZF equalizer cannot) or "zf" (reference-parity linear
-    detector, ~cheaper at dense constellations).
+    detector:
+      * "auto" (default): 2x2 plans decode through the cheap ZF detector;
+        any that fail FCS (or the SIG-B CRC) are re-dispatched once
+        through the exact max-log ML detector. Well-conditioned channels
+        (the overwhelming streaming case — and the only case the
+        reference's always-ZF rx2 chain can decode at all,
+        lib/demod2_impl.cc:410-428) never pay the ML candidate sweep, so
+        the dual-chain stream runs at ZF speed while keeping exact-ML's
+        PDR on ill-conditioned channels.
+      * "ml": exact max-log on every 2x2 packet.
+      * "zf": reference-parity linear detector, no retry.
     """
 
     def __init__(self, sample_rate_hz: float = 20e6, stats=None,
                  ingest: str = "auto", trigger: str = "host",
-                 detector: str = "ml", mu_pos: int = 0,
+                 detector: str = "auto", mu_pos: int = 0,
                  mu_gid: Optional[int] = None):
         super().__init__(sample_rate_hz, stats, ingest, trigger,
                          mu_pos=mu_pos, mu_gid=mu_gid)
-        assert detector in ("ml", "zf")
+        assert detector in ("auto", "ml", "zf")
         self.detector = detector
 
     def _upload(self, capture: np.ndarray):
@@ -421,16 +464,26 @@ class MimoReceiver(SisoReceiver):
             mode = "int8" if npad > (1 << 19) else "f32"
         if mode == "int8" and native.available():
             buf = np.zeros((2, npad, 2), np.int8)
-            per_chain = []
             scales = np.zeros((2, 1, 1), np.float32)
-            for c in range(2):
-                t_c, s_c = native.scan_quantize(
+
+            def scan_one(c):
+                # native pass releases the GIL: both chains can
+                # scan+quantize concurrently (chain_scan="threaded")
+                return native.scan_quantize(
                     capture[c], buf[c, :n], thresh=0.5,
                     plateau=20 * self.q,
                     min_gap=MIN_TRIGGER_GAP * self.q,
                     lag=16 * self.q)
-                per_chain.append(np.asarray(t_c, np.int64))
-                scales[c] = s_c
+
+            if getattr(self, "chain_scan", "threaded") == "threaded":
+                if not hasattr(self, "_chain_pool"):
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._chain_pool = ThreadPoolExecutor(max_workers=2)
+                res = list(self._chain_pool.map(scan_one, range(2)))
+            else:
+                res = [scan_one(c) for c in range(2)]
+            per_chain = [np.asarray(t_c, np.int64) for t_c, _ in res]
+            scales[0], scales[1] = res[0][1], res[1][1]
             t0s = merge_triggers(per_chain, dedup_gap=200 * self.q)
             return t0s, jnp.asarray(buf), jnp.asarray(scales), npad
         t0s = merge_triggers(
@@ -457,8 +510,47 @@ class MimoReceiver(SisoReceiver):
         return packed, t_clamp
 
     def _decoder_for(self, mod: Mod, n_sym_bucket: int):
-        return (get_mimo_decoder(mod, n_sym_bucket, self.detector)
+        det = "zf" if self.detector == "auto" else self.detector
+        return (get_mimo_decoder(mod, n_sym_bucket, det)
                 if mod.nSS == 2 else get_mrc_decoder(mod, n_sym_bucket))
+
+    def _dispatch_plans(self, cap_dev, scale, npad, plans,
+                        decoder_for=None):
+        futs = super()._dispatch_plans(cap_dev, scale, npad, plans,
+                                       decoder_for)
+        if (decoder_for is None and self.detector == "auto"
+                and any(p.mod.nSS == 2 and not p.mu for _, p in plans)):
+            futs = _FutsWithCtx(futs)
+            futs.ctx = (cap_dev, scale, npad)
+        return futs
+
+    def _finish_plans(self, futs):
+        """Fetch + assemble, then (detector="auto") one exact-ML retry
+        pass over the 2x2 packets the ZF detector failed to decode."""
+        collected = SisoReceiver._finish_plans(futs)
+        ctx = getattr(futs, "ctx", None)
+        if ctx is None:
+            return collected
+        res_by_i = dict(collected)
+        retry = []
+        for items, _out in futs:
+            for i, p in items:
+                if p.mu or p.mod.nSS != 2:
+                    continue
+                r = res_by_i.get(i)
+                if r is not None and r.fcs_ok and r.sigb_ok is not False:
+                    continue
+                retry.append((i, p))
+        if not retry:
+            return collected
+        cap_dev, scale, npad = ctx
+        ml_futs = SisoReceiver._dispatch_plans(
+            self, cap_dev, scale, npad, retry,
+            decoder_for=lambda mod, nb: get_mimo_decoder(mod, nb, "ml"))
+        for i, r in SisoReceiver._finish_plans(ml_futs):
+            if r.fcs_ok or res_by_i.get(i) is None:
+                res_by_i[i] = r
+        return sorted(res_by_i.items())
 
     def _plan_batch(self, cap_len: int, meta, n: int):
         """Universal dual-chain planning over all n trigger windows,

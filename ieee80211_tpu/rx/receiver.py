@@ -501,31 +501,36 @@ class SisoDataDecoder:
             off = OFF_NLLTF + 80 * self.mod.nLTF + 80   # VHT: + SIG-B
         return off * self.q
 
-    def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
-                cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
-        """x2: [B, N, 2] float32 raw windows; ltf_start, cfo: [B];
-        n_valid: optional [B] int32 true symbol counts (<= self.n_sym).
-        Returns (descrambled bits, evm_snr_db, sigb_ok)."""
-        from ..utils.riq import r2c
+    def zlen(self) -> int:
+        """Aligned-window length: index 0 == ltf_start - gi (RxPipeline's
+        one-slice layout)."""
+        return 32 * self.q + self.data_offset() + 80 * self.q * self.n_sym
+
+    def _decode_z(self, z: jnp.ndarray, n_valid: jnp.ndarray = None):
+        """ALIGNED decode: z [B, zlen] complex, CFO-corrected, with index
+        0 == ltf_start - gi. Every symbol extraction is a STATIC slice —
+        the per-packet dynamic gathers of the old layout cost 1-4 ms each
+        at streaming batches (CLAUDE.md round-1 lesson; the alignment
+        gather happens ONCE, in the caller). Returns (descrambled bits,
+        evm_snr_db, sigb_ok)."""
         mod = self.mod
         q = self.q
         nfft, gi, sh = 64 * q, 16 * q, 8 * q
-        b = x2.shape[0]
-        y = sync.apply_cfo_correction(r2c(x2), cfo)
+        b = z.shape[0]
         if mod.fmt == F.L:
-            ltf_t = demod.extract_symbol_windows(y, ltf_start - 16, 2,
-                                                 stride=64)
-            chan = demod.legacy_chan_est(demod.fft_syms(ltf_t))
+            ltf_t = demod.static_symbol_windows(z, 0, 2, nfft=nfft, gi=gi,
+                                                shift=sh, stride=nfft)
+            chan = demod.legacy_chan_est(demod.fft_syms(ltf_t), mod.bw)
             pidx0 = 1
         else:
             # channel update from the first non-legacy LTF
-            ltf_t = demod.extract_symbol_windows(
-                y, ltf_start + OFF_NLLTF * q, 1, nfft=nfft, gi=gi, shift=sh)
+            ltf_t = demod.static_symbol_windows(
+                z, gi + OFF_NLLTF * q, 1, nfft=nfft, gi=gi, shift=sh)
             chan = demod.nonlegacy_chan_est_siso(
                 demod.fft_syms(ltf_t)[:, 0], mod.bw)
             pidx0 = 3 if mod.fmt == F.HT else 4
-        g = demod.fft_syms(demod.extract_symbol_windows(
-            y, ltf_start + self.data_offset(), self.n_sym,
+        g = demod.fft_syms(demod.static_symbol_windows(
+            z, gi + self.data_offset(), self.n_sym,
             nfft=nfft, gi=gi, shift=sh))
         llrs, evm = demod.demod_data_siso(g, chan, mod, self.n_sym, pidx0,
                                           with_snr=True,
@@ -534,8 +539,8 @@ class SisoDataDecoder:
         scr = coding.descramble(bits)
         if mod.fmt == F.VHT:
             # VHT-SIG-B decode + SERVICE CRC-8 check (demod_impl.cc:449-505)
-            sb = demod.fft_syms(demod.extract_symbol_windows(
-                y, ltf_start + self.data_offset() - 80 * q, 1,
+            sb = demod.fft_syms(demod.static_symbol_windows(
+                z, gi + self.data_offset() - 80 * q, 1,
                 nfft=nfft, gi=gi, shift=sh))[:, 0]
             eq = sb / chan
             pil = jnp.asarray(tables.PILOT_GRID[(mod.bw, False)])
@@ -548,6 +553,16 @@ class SisoDataDecoder:
         else:
             sigb_ok = jnp.ones(b, dtype=bool)
         return scr, evm, sigb_ok
+
+    def _decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
+                cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
+        """x2: [B, N, 2] float32 raw windows; ltf_start, cfo: [B].
+        One aligned slice, then the static decode."""
+        from ..utils.riq import r2c
+        gi = 16 * self.q
+        z2 = sync.batch_slice_iq(x2, ltf_start - gi, self.zlen())
+        z = r2c(z2) * sync.cfo_ramp(cfo, self.zlen())
+        return self._decode_z(z, n_valid)
 
     def decode(self, x2: jnp.ndarray, ltf_start: jnp.ndarray,
                cfo: jnp.ndarray, n_valid: jnp.ndarray = None):
@@ -563,12 +578,18 @@ class SisoDataDecoder:
 
     def _decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
                              n_valid):
-        """Batched decode with windows gathered from the device-resident
-        capture; returns (packed descrambled bytes [G, n_bits/8], evm [G],
+        """Batched decode with ONE aligned window gather from the
+        device-resident capture (t_abs + ltf_start - gi is per-packet but
+        known at gather time, so everything downstream is static slicing);
+        returns (packed descrambled bytes [G, n_bits/8], evm [G],
         sigb_ok [G]) so the device->host fetch is bytes, not bit-planes."""
-        w = self.window_capacity()
-        x2 = capture_windows(cap, t_abs, w).astype(jnp.float32) * scale
-        bits, evm, sigb_ok = self._decode(x2, ltf_start, cfo, n_valid)
+        from ..utils.riq import r2c
+        gi = 16 * self.q
+        zl = self.zlen()
+        x2 = capture_windows(cap, t_abs + ltf_start - gi,
+                             zl).astype(jnp.float32) * scale
+        z = r2c(x2) * sync.cfo_ramp(cfo, zl)
+        bits, evm, sigb_ok = self._decode_z(z, n_valid)
         return pack_bits_le(bits), evm, sigb_ok
 
     def decode_from_capture(self, cap, scale, t_abs, ltf_start, cfo,
@@ -965,18 +986,30 @@ class SisoReceiver:
         # buffers are freed as the stream advances instead of growing
         # linearly with its length (continuous-streaming safety).
         out: List[List[PacketResult]] = [[] for _ in range(n)]
+        asm_futs: list = [None] * n
 
-        def phase3(k):
+        def phase3(k, asm):
+            """Hand result fetch + MAC assembly to the assembly worker:
+            np.asarray blocks on the relay round trip and the A-MPDU/FCS
+            walks are host work — both overlap the main thread's planning
+            and the ingest worker's scanning (second pipeline lane).
+            assembly="worker" offloads to a thread; measured A/B on this
+            2-CORE host: the extra thread LOSES (siso stream 11 vs 20
+            Msps, r5 A/B) — contention with the ingest worker + main
+            thread. Default "inline"; the lane stays for wider hosts."""
             if st3[k] is None:
                 return
-            results = []
-            for i, r in self._finish_plans(st3[k]):
-                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
-                results.append(r)
-            out[k] = results
+            if getattr(self, "assembly", "inline") == "inline":
+                from concurrent.futures import Future
+                f = Future()
+                f.set_result(self._finish_plans(st3[k]))
+                asm_futs[k] = f
+            else:
+                asm_futs[k] = asm.submit(self._finish_plans, st3[k])
             st3[k] = None
 
         ex = ThreadPoolExecutor(max_workers=1)
+        asm = ThreadPoolExecutor(max_workers=1)
         try:
             fut = ex.submit(self._ingest, caps[0]) if n else None
             for k in range(n):
@@ -996,20 +1029,27 @@ class SisoReceiver:
                     st3[k - 2] = phase2(k - 2)
                     st2[k - 2] = None
                 if k >= 4:
-                    # assemble k-4 INSIDE the loop: its decode dispatches
-                    # have had two full iterations of device time, so the
-                    # fetch is a no-wait and the host assembly overlaps
-                    # the worker's ingest instead of serializing after
-                    # the loop
-                    phase3(k - 4)
+                    # submit k-4's assembly INSIDE the loop: its decode
+                    # dispatches have had two full iterations of device
+                    # time, so the worker's fetch is a no-wait
+                    phase3(k - 4, asm)
             for k in (n - 2, n - 1):
                 if k >= 0:
                     st3[k] = phase2(k)
                     st2[k] = None
+            for k in range(n):                          # drain the tail
+                phase3(k, asm)
+            for k in range(n):
+                if asm_futs[k] is None:
+                    continue
+                results = []
+                for i, r in asm_futs[k].result():
+                    self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
+                    results.append(r)
+                out[k] = results
         finally:
             ex.shutdown(wait=False)
-        for k in range(n):                              # drain the tail
-            phase3(k)
+            asm.shutdown(wait=False)
         return out
 
     def decode_captures_full(self, captures):
@@ -1092,9 +1132,14 @@ class SisoReceiver:
         the MRC decoder)."""
         return get_data_decoder(mod, n_sym_bucket)
 
-    def _dispatch_plans(self, cap_dev, scale, npad, plans):
+    def _dispatch_plans(self, cap_dev, scale, npad, plans,
+                        decoder_for=None):
         """Group plans by (Mod, bucket) and submit one jit program per
-        group (async). Returns futs for _finish_plans."""
+        group (async). Returns futs for _finish_plans.
+
+        decoder_for: optional decoder-factory override (the dual-chain
+        receiver's exact-ML retry pass re-dispatches failed 2x2 plans
+        through it)."""
         groups: dict = {}
         for i, p in plans:
             groups.setdefault((p.mod, _bucket(p.n_sym), p.mu, p.stream_idx,
@@ -1105,7 +1150,7 @@ class SisoReceiver:
                 from ..mu.sounding import get_mu_sta_data_decoder
                 dec = get_mu_sta_data_decoder(mod, nb, si, nt)
             else:
-                dec = self._decoder_for(mod, nb)
+                dec = (decoder_for or self._decoder_for)(mod, nb)
             w = dec.window_capacity()
             g = len(items)
             gp = next_pow2(g)

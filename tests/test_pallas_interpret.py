@@ -42,6 +42,8 @@ CASES = [
     (3, 2, 4, jnp.float32),
     (4, None, 16, jnp.bfloat16),
     (3, 1, 8, jnp.bfloat16),
+    (4, None, 64, jnp.int8),      # int8 LLR DMA (metrics/compute f32)
+    (3, 2, 8, jnp.int8),
 ]
 
 
@@ -80,7 +82,7 @@ def test_default_dtype_is_mosaic_safe():
     from ieee80211_tpu.ops.pallas import viterbi as V
     sig = inspect.signature(viterbi_decode_pallas)
     assert sig.parameters["dtype"].default is None
-    assert V.DTYPE in (jnp.float32, jnp.bfloat16)
+    assert V.DTYPE in (jnp.float32, jnp.bfloat16, jnp.int8)
 
 
 def test_interpret_sig_length_trellis():
