@@ -424,10 +424,11 @@ class MimoReceiver(SisoReceiver):
     def _upload(self, capture: np.ndarray):
         """See SisoReceiver._upload: auto = f32 below 32 MB, int8 above
         (relay upload cliff); per-chain native peak quantization."""
-        from .receiver import next_pow2
+        from .receiver import _pad_capture, _round_64k, next_pow2
         capture = np.ascontiguousarray(capture, dtype=np.complex64)
         n = capture.shape[1]
         npad = next_pow2(n + 4096, lo=1 << 15)
+        n_r = min(_round_64k(n), npad)
         mode = self.ingest
         if mode == "auto":
             mode = "int8" if npad > (1 << 19) else "f32"
@@ -435,13 +436,14 @@ class MimoReceiver(SisoReceiver):
             peak = float(max(np.abs(capture.real).max(initial=0.0),
                              np.abs(capture.imag).max(initial=0.0), 1e-12))
             s = 126.0 / peak
-            buf = np.zeros((2, npad, 2), np.int8)
+            buf = np.zeros((2, n_r, 2), np.int8)
             buf[:, :n, 0] = np.clip(np.round(capture.real * s), -127, 127)
             buf[:, :n, 1] = np.clip(np.round(capture.imag * s), -127, 127)
-            return jnp.asarray(buf), jnp.float32(1.0 / s), npad
-        buf = np.zeros((2, npad, 2), np.float32)
+            return (_pad_capture(jnp.asarray(buf), npad),
+                    jnp.float32(1.0 / s), npad)
+        buf = np.zeros((2, n_r, 2), np.float32)
         buf[:, :n] = capture.view(np.float32).reshape(2, -1, 2)
-        return jnp.asarray(buf), jnp.float32(1.0), npad
+        return _pad_capture(jnp.asarray(buf), npad), jnp.float32(1.0), npad
 
     def _ingest(self, capture: np.ndarray):
         """Dual-chain trigger scan + quantize + upload (fused native path).
@@ -455,7 +457,7 @@ class MimoReceiver(SisoReceiver):
         [B, nRx, N, 2] windows in the jit programs.
         Returns (t0s, cap_dev, scale, npad)."""
         from .. import native
-        from .receiver import next_pow2
+        from .receiver import _pad_capture, _round_64k, next_pow2
         capture = np.ascontiguousarray(capture, dtype=np.complex64)
         n = capture.shape[1]
         npad = next_pow2(n + 4096, lo=1 << 15)
@@ -463,7 +465,7 @@ class MimoReceiver(SisoReceiver):
         if mode == "auto":
             mode = "int8" if npad > (1 << 19) else "f32"
         if mode == "int8" and native.available():
-            buf = np.zeros((2, npad, 2), np.int8)
+            buf = np.zeros((2, min(_round_64k(n), npad), 2), np.int8)
             scales = np.zeros((2, 1, 1), np.float32)
 
             def scan_one(c):
@@ -485,7 +487,8 @@ class MimoReceiver(SisoReceiver):
             per_chain = [np.asarray(t_c, np.int64) for t_c, _ in res]
             scales[0], scales[1] = res[0][1], res[1][1]
             t0s = merge_triggers(per_chain, dedup_gap=200 * self.q)
-            return t0s, jnp.asarray(buf), jnp.asarray(scales), npad
+            return (t0s, _pad_capture(jnp.asarray(buf), npad),
+                    jnp.asarray(scales), npad)
         t0s = merge_triggers(
             [sync.find_triggers_np(capture[c], q=self.q,
                                    min_gap=MIN_TRIGGER_GAP)

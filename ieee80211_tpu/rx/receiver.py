@@ -319,6 +319,25 @@ def next_pow2(n: int, lo: int = 1) -> int:
     return 1 << (n - 1).bit_length()
 
 
+@partial(jax.jit, static_argnames=("npad",))
+def _pad_capture(x: jnp.ndarray, npad: int) -> jnp.ndarray:
+    """Zero-pad an uploaded capture to its pow2 working length ON DEVICE.
+
+    The host uploads the TIGHT buffer (rounded to 64k samples) and the
+    pow2 tail is materialized here: the pow2 rounding inflates a capture
+    by up to 2x, and on this relay the upload link is the streaming
+    receiver's scarcest resource (measured as low as ~170 MB/s in
+    degraded phases — r5 note; the r3 1.6 GB/s fast path is not always
+    available). Device-side zeros cost an HBM write, not link bytes."""
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, npad - x.shape[-2])
+    return jnp.pad(x, pad)
+
+
+def _round_64k(n: int) -> int:
+    return -(-n // 65536) * 65536
+
+
 def capture_windows(cap: jnp.ndarray, start: jnp.ndarray, length: int
                     ) -> jnp.ndarray:
     """Gather per-packet windows from a device-resident capture.
@@ -744,8 +763,9 @@ class SisoReceiver:
         mode = self.ingest
         if mode == "auto":
             mode = "int8" if npad > (1 << 20) else "f32"
+        n_r = min(_round_64k(n), npad)
         if mode == "int8":
-            buf = np.zeros((npad, 2), np.int8)
+            buf = np.zeros((n_r, 2), np.int8)
             from .. import native
             s = native.quantize_int8(capture, buf[:n])
             if s is None:                        # no native toolchain
@@ -756,10 +776,11 @@ class SisoReceiver:
                 buf[:n, 0] = np.clip(np.round(capture.real * sc), -127, 127)
                 buf[:n, 1] = np.clip(np.round(capture.imag * sc), -127, 127)
                 s = 1.0 / sc
-            return jnp.asarray(buf), jnp.float32(s), npad
-        buf = np.zeros((npad, 2), np.float32)
+            return (_pad_capture(jnp.asarray(buf), npad), jnp.float32(s),
+                    npad)
+        buf = np.zeros((n_r, 2), np.float32)
         buf[:n] = capture.view(np.float32).reshape(-1, 2)
-        return jnp.asarray(buf), jnp.float32(1.0), npad
+        return _pad_capture(jnp.asarray(buf), npad), jnp.float32(1.0), npad
 
     def _ingest(self, capture: np.ndarray):
         """Trigger scan + quantize + upload with the fewest host passes.
@@ -777,11 +798,12 @@ class SisoReceiver:
         if mode == "auto":
             mode = "int8" if npad > (1 << 20) else "f32"
         if mode == "int8" and native.available():
-            buf = np.zeros((npad, 2), np.int8)
+            buf = np.zeros((min(_round_64k(n), npad), 2), np.int8)
             t0s, s = native.scan_quantize(
                 capture, buf[:n], thresh=0.5, plateau=20 * self.q,
                 min_gap=MIN_TRIGGER_GAP * self.q, lag=16 * self.q)
-            return (np.asarray(t0s, dtype=np.int64), jnp.asarray(buf),
+            return (np.asarray(t0s, dtype=np.int64),
+                    _pad_capture(jnp.asarray(buf), npad),
                     jnp.float32(s), npad)
         t0s = np.asarray(sync.find_triggers_np(
             capture, q=self.q, min_gap=MIN_TRIGGER_GAP), dtype=np.int64)
@@ -805,8 +827,9 @@ class SisoReceiver:
         mode = self.ingest
         if mode == "auto":
             mode = "int8" if npad > (1 << 20) else "f32"
+        n_r = min(_round_64k(n), npad)
         if mode == "int8":
-            buf = np.zeros((npad, 2), np.int8)
+            buf = np.zeros((n_r, 2), np.int8)
             s = native.quantize_int8(capture, buf[:n])
             if s is None:
                 peak = float(max(np.abs(capture.real).max(initial=0.0),
@@ -816,11 +839,13 @@ class SisoReceiver:
                 buf[:n, 0] = np.clip(np.round(capture.real * sc), -127, 127)
                 buf[:n, 1] = np.clip(np.round(capture.imag * sc), -127, 127)
                 s = 1.0 / sc
-            cap_dev, scale = jnp.asarray(buf), jnp.float32(s)
+            cap_dev = _pad_capture(jnp.asarray(buf), npad)
+            scale = jnp.float32(s)
         else:
-            buf = np.zeros((npad, 2), np.float32)
+            buf = np.zeros((n_r, 2), np.float32)
             buf[:n] = capture.view(np.float32).reshape(-1, 2)
-            cap_dev, scale = jnp.asarray(buf), jnp.float32(1.0)
+            cap_dev = _pad_capture(jnp.asarray(buf), npad)
+            scale = jnp.float32(1.0)
         trig, ntrig = sync.trigger_scan_capture(cap_dev, scale, k_max=k_max,
                                                 q=self.q,
                                                 min_gap=MIN_TRIGGER_GAP)
