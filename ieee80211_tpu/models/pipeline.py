@@ -39,7 +39,16 @@ def make_rx_step(mod: Mod, n_sym: int, csi_weight: bool = True):
     from ..utils.riq import r2c
     n_bits = n_sym * mod.nDBPS
     q = tables.NFFT[mod.bw] // 64
-    nfft, gi, sh = 64 * q, 16 * q, 8 * q
+    # data-symbol window shift: 4q (not the reference's 8q,
+    # C8P_SYM_SAMP_SHIFT). The shift absorbs LATE timing; multipath
+    # needs the window LATE (cyclic validity: window start >= CIR
+    # delay). Sync's timing lands within ~2 samples of the first
+    # tap, so 8q of late margin was unused while delay-spread
+    # tolerance capped at ~6q; 4q re-centers the margin: r5 probe
+    # showed noiseless VHT9 fading failures (EVM floor ~25 dB for
+    # reflections at 12..16 samples @40 MHz) vanish with the window
+    # 4q later, while clean-channel decodes are bit-identical.
+    nfft, gi, sh = 64 * q, 16 * q, 4 * q
 
     def data_offset() -> int:
         if mod.fmt == F.L:

@@ -358,7 +358,7 @@ class MuStaDataDecoder:
         ltf_start - 16; sigb_crc: [B] int32 expected CRC-8 of the SIG-B
         pre-tail bits. Returns (descrambled bits, evm, sigb_ok)."""
         mod = self.mod
-        gi, sh = 16, 8
+        gi, sh = 16, 4   # data-window shift 4 (see models/pipeline.py)
         b, nrx = z.shape[0], z.shape[1]
         yf = z.reshape(b * nrx, -1)
         ltf_f = demod.fft_syms(demod.static_symbol_windows(

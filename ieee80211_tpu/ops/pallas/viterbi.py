@@ -81,7 +81,7 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
 
         def dma(slot, c):
             return pltpu.make_async_copy(
-                llr_hbm.at[pl.ds(c * chunk, chunk), :, :,
+                llr_hbm.at[pl.ds(c * chunk, chunk), :,
                            pl.ds(i * TB, TB)],
                 buf.at[slot],
                 sem.at[slot],
@@ -106,8 +106,10 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
 
             def fwd_step(tt, _):
                 t = c * chunk + tt
-                lb = buf[slot, tt]                  # [k, 2, TB]
-                llr2 = lb.reshape(2 * k, TB).astype(jnp.float32)
+                # [2k, TB]: the (step, coded-bit) axes arrive flattened —
+                # int8 VMEM slices need the sublane dim 4-aligned, a bare
+                # size-2 axis is not (Mosaic tiling (4,128))
+                llr2 = buf[slot, tt].astype(jnp.float32)
                 bm = jnp.dot(wmat.astype(jnp.float32), llr2,
                              preferred_element_type=jnp.float32)
                 m = m_ref[:].astype(jnp.float32)
@@ -210,7 +212,7 @@ def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
             pltpu.VMEM((n_blk // pack, 64, TB), jnp.int8),  # survivors
             pltpu.VMEM((64, TB), dt),                       # metrics
             pltpu.VMEM((64, TB), jnp.int32),                # pack acc
-            pltpu.VMEM((2, chunk, k, 2, TB), llr_dt),       # llr double buf
+            pltpu.VMEM((2, chunk, 2 * k, TB), llr_dt),      # llr double buf
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -237,7 +239,10 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
                           renorm: int = None,
                           dtype=None,
                           interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32.
+    """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32
+    punctured soft bits — or, with cr=None, PRE-DEPUNCTURED [B, n_bits, 2]
+    (or [B, n_bits*2]) LLR pairs (the table-driven generic decoder folds
+    depuncturing into its per-window gather).
 
     radix/tb/renorm/dtype default to the module-level RADIX/TB/RENORM/
     DTYPE at CALL time (so sweeps and tests can retune without
@@ -247,10 +252,15 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
     backend — the CPU-CI numerics gate for every exposed config (the bf16
     default regression of round 1 would have been caught here)."""
     dt = dtype if dtype is not None else DTYPE
-    int8_llr = dt == jnp.int8        # int8 LLR DMA; metrics/compute f32
-    met_dt = jnp.float32 if int8_llr else dt
     if radix is None:
         radix = RADIX
+    # int8 LLR DMA; metrics/compute stay f32. Mosaic int8 VMEM slices need
+    # the sublane (2k) dim 4-aligned -> even radix only (radix 3 falls
+    # back to f32 storage on hardware; the interpreter accepts either).
+    int8_llr = dt == jnp.int8 and (radix % 2 == 0 or interpret)
+    if dt == jnp.int8 and not int8_llr:
+        dt = jnp.float32
+    met_dt = jnp.float32 if int8_llr else dt
     if tb is None:
         tb = TB
     if renorm is None:
@@ -273,14 +283,15 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
         s = 126.0 / jnp.maximum(
             jnp.max(jnp.abs(llrs), axis=1, keepdims=True), 1e-20)
         llrs = llrs * s
-    lp = depuncture(llrs, cr, n_bits)                      # [B, n_bits, 2]
+    lp = llrs if cr is None else depuncture(llrs, cr, n_bits)
+    lp = lp.reshape(lp.shape[0], -1, 2)                    # [B, n_bits, 2]
     if t_pad != n_bits:
         lp = jnp.pad(lp, ((0, 0), (0, t_pad - n_bits), (0, 0)))
     b_pad = -(-b // tb) * tb
     if b_pad != b:
         lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
-    # [B, T, 2] -> [nBlk, k, 2, B]
-    ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, k, 2), 0, -1)
+    # [B, T, 2] -> [nBlk, 2k, B] (flattened (k, 2) axis: see kernel note)
+    ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, 2 * k), 0, -1)
     ltr = (jnp.round(ltr).astype(jnp.int8) if int8_llr
            else ltr.astype(dt))
     chunk = _pick_chunk(n_blk, pack)

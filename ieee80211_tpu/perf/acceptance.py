@@ -339,6 +339,14 @@ def run_acceptance(n_pkt: int = 100, payload_len: int = 500,
         # (multipath for SISO, Ricean mixing for 2x2) — the ensemble
         # robustness the round-2 VERDICT said the high-SNR-only wideband
         # tests were missing (Weak #6). FULL MCS grids like the AWGN rows.
+        # Swept to 36 dB (not 30): 256-QAM r=5/6 under the multipath
+        # ensemble genuinely waterfalls above 30 dB (CSI-weighted max-log
+        # demod is already the optimal per-tone SISO metric; the extra dB
+        # are code physics, not receiver deficiency) — the extended range
+        # turns the former `None` waterfalls into measured numbers.
+        snr_wb = list(snr_db) + [s for s in (31, 32, 33, 34, 35, 36)
+                                 if s > snr_db[-1]]
+        result["snr_db_wideband"] = snr_wb
         for bw, tag in ((BW.BW40, "40"), (BW.BW80, "80")):
             q = tables.NFFT[bw] // 64
 
@@ -348,7 +356,7 @@ def run_acceptance(n_pkt: int = 100, payload_len: int = 500,
 
             result["curves"][f"siso_fading_{tag}"] = _sweep_curves(
                 _build_packet_bw(bw), _Rx, [(F.VHT, m) for m in range(10)],
-                snr_db, n_pkt, payload_len, seed, log, chan=chan_fir)
+                snr_wb, n_pkt, payload_len, seed, log, chan=chan_fir)
 
             def chan_mix(rng, wave2):
                 return (_mix_2x2(rng) @ wave2).astype(np.complex64)
@@ -359,7 +367,7 @@ def run_acceptance(n_pkt: int = 100, payload_len: int = 500,
                         + [(F.VHT, m) for m in range(10)])
             result["curves"][f"mimo_2x2_fading_{tag}"] = _sweep_curves(
                 _build_mimo_packet_bw(bw), MimoRxPipeline, mimo_cfg,
-                snr_db, n_pkt, payload_len, seed, log, chan=chan_mix)
+                snr_wb, n_pkt, payload_len, seed, log, chan=chan_mix)
         # contrast row: the same VHT7 @80 multipath sweep WITHOUT per-tone
         # CSI LLR weighting (the reference's unweighted demap) — the r3
         # VHT7 fading `None` waterfall was this receiver deficiency, not
@@ -375,15 +383,19 @@ def run_acceptance(n_pkt: int = 100, payload_len: int = 500,
 
         result["curves"]["siso_fading_80_unweighted_llr"] = _sweep_curves(
             _build_packet_bw(BW.BW80), _RxUnweighted, [(F.VHT, 7)],
-            snr_db, n_pkt, payload_len, seed, log, chan=chan_fir80)
+            snr_wb, n_pkt, payload_len, seed, log, chan=chan_fir80)
     if mu:
         result["curves"]["mu_2user"] = _mu_curves(
             snr_db, n_pkt, payload_len, seed, log)
         result["curves"]["mu_4user"] = _mu_curves(
             snr_db, n_pkt, payload_len, seed, log, n_user=4)
-    # derived waterfall table (SNR at sustained 90% PDR)
+    # derived waterfall table (SNR at sustained 90% PDR); fading groups
+    # use the extended wideband grid
+    def _grid(grp):
+        return result.get("snr_db_wideband", snr_db) \
+            if "fading" in grp else snr_db
     result["waterfall_90pct"] = {
-        grp: {k: _snr_at(snr_db, v, 0.9) for k, v in cs.items()}
+        grp: {k: _snr_at(_grid(grp), v, 0.9) for k, v in cs.items()}
         for grp, cs in result["curves"].items()}
     if out_path:
         with open(out_path, "w") as f:

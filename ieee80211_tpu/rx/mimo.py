@@ -91,7 +91,7 @@ class MimoDataDecoder:
         ltf_start - gi. Returns (descrambled bits, evm, sigb_ok)."""
         mod = self.mod
         q = self.q
-        nfft, gi, sh = 64 * q, 16 * q, 8 * q
+        nfft, gi, sh = 64 * q, 16 * q, 4 * q  # 4q shift: see make_rx_step
         b = z.shape[0]
         yf = z.reshape(b * 2, -1)
 
@@ -287,7 +287,7 @@ class MrcDataDecoder:
         ltf_start - gi; static slicing only (see SisoDataDecoder)."""
         mod = self.mod
         q = self.q
-        nfft, gi, sh = 64 * q, 16 * q, 8 * q
+        nfft, gi, sh = 64 * q, 16 * q, 4 * q  # 4q shift: see make_rx_step
         b, nrx = z.shape[0], z.shape[1]
         yf = z.reshape(b * nrx, -1)
         if mod.fmt == F.L:

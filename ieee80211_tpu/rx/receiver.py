@@ -534,7 +534,9 @@ class SisoDataDecoder:
         evm_snr_db, sigb_ok)."""
         mod = self.mod
         q = self.q
-        nfft, gi, sh = 64 * q, 16 * q, 8 * q
+        # data-window shift 4q, not 8q: re-centers the timing margin for
+        # delay-spread tolerance (see models/pipeline.py make_rx_step)
+        nfft, gi, sh = 64 * q, 16 * q, 4 * q
         b = z.shape[0]
         if mod.fmt == F.L:
             ltf_t = demod.static_symbol_windows(z, 0, 2, nfft=nfft, gi=gi,
