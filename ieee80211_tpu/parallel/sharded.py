@@ -365,7 +365,8 @@ def branch_window_len(mod: Mod, n_sym_cap: int) -> int:
 
 
 def sharded_capture_decode_auto(mesh, branches, window_len: int,
-                                k_per_shard: int = 4):
+                                k_per_shard: int = 4,
+                                generic: bool = False):
     """Mixed-format sharded capture decode with IN-GRAPH auto-detection.
 
     branches: static tuple of (Mod, n_sym_cap) decode branches. Every
@@ -377,6 +378,15 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
     over all windows; outputs are one-hot selected. That costs
     len(branches)x the single-config decode but keeps the whole mixed
     capture in ONE XLA program over the mesh.
+
+    generic=True replaces the per-branch decode loop with the
+    table-driven rx/generic.GenericSisoDecoder: ONE shared-trellis
+    decode whose per-window (rate, constellation, interleaver,
+    depuncture) come from gathered config tables — the fix for the
+    ~7 ms/branch dispatch floor (docs/PERF_NOTES.md: a 42-config MCS
+    matrix costs ~0.3 s/invocation through per-branch launches; the
+    generic program costs ~one worst-case decode regardless of branch
+    count — measured in perf_generic_r5.py).
 
     Pipeline (one program): sp-sharded STF autocorr with ppermute halo ->
     in-graph trigger (capacity k_per_shard, with an overflow flag when a
@@ -398,8 +408,23 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
         assert window_len >= need, (
             f"window_len {window_len} < {need} required by branch "
             f"({m.fmt.name} mcs{m.mcs}, {cap} sym)")
-    steps = [make_rx_step(m, cap) for m, cap in branches]
-    n_bits_max = max(cap * m.nDBPS for m, cap in branches)
+    if generic:
+        from ..rx.generic import GenericSisoDecoder
+        cap_max = max(cap for _, cap in branches)
+        gen_dec = GenericSisoDecoder(
+            tuple((m.fmt, m.mcs) for m, _ in branches), cap_max)
+        # (fmt, mcs) -> config row; -1 = no branch
+        lut = np.full((3, 16), -1, np.int32)
+        caps_tab = np.zeros(len(branches), np.int32)
+        for j, (m, capj) in enumerate(branches):
+            if lut[_FMT_CODE[m.fmt], m.mcs] < 0:
+                lut[_FMT_CODE[m.fmt], m.mcs] = j
+            caps_tab[j] = capj
+        steps = []
+        n_bits_max = gen_dec.n_bits_max
+    else:
+        steps = [make_rx_step(m, cap) for m, cap in branches]
+        n_bits_max = max(cap * m.nDBPS for m, cap in branches)
     n_sp = mesh.shape["sp"]
     w = window_len
     cap_shard = NamedSharding(mesh, P("dp", "sp", None))
@@ -460,19 +485,33 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
 
         # branch routing: first branch whose (fmt, mcs) matches and whose
         # symbol capacity fits
-        bid = jnp.full(b * k_per_shard, -1, jnp.int32)
-        for j, (m, capj) in enumerate(branches):
-            match = (plan["fmt"] == _FMT_CODE[m.fmt]) \
-                & (plan["mcs"] == m.mcs) & (plan["n_sym"] <= capj)
-            bid = jnp.where((bid < 0) & match, j, bid)
+        if generic:
+            fmt_c = jnp.clip(plan["fmt"], 0, 2)
+            mcs_c = jnp.clip(plan["mcs"], 0, 15)
+            bid = jnp.asarray(lut)[fmt_c, mcs_c]
+            bid = jnp.where(
+                (plan["fmt"] >= 0)
+                & (plan["n_sym"] <= jnp.asarray(caps_tab)[
+                    jnp.clip(bid, 0, None)]), bid, -1)
+            nv = jnp.clip(plan["n_sym"], 1, cap_max)
+            bits = gen_dec.decode(xw, meta["ltf_start"].astype(jnp.int32),
+                                  meta["cfo"], jnp.clip(bid, 0, None),
+                                  nv).astype(jnp.int32)
+        else:
+            bid = jnp.full(b * k_per_shard, -1, jnp.int32)
+            for j, (m, capj) in enumerate(branches):
+                match = (plan["fmt"] == _FMT_CODE[m.fmt]) \
+                    & (plan["mcs"] == m.mcs) & (plan["n_sym"] <= capj)
+                bid = jnp.where((bid < 0) & match, j, bid)
 
-        bits = jnp.zeros((b * k_per_shard, n_bits_max), jnp.int32)
-        for j, step in enumerate(steps):
-            oj = step(xw, t0)
-            bj = oj["bits"].astype(jnp.int32)
-            if bj.shape[1] < n_bits_max:
-                bj = jnp.pad(bj, ((0, 0), (0, n_bits_max - bj.shape[1])))
-            bits = jnp.where((bid == j)[:, None], bj, bits)
+            bits = jnp.zeros((b * k_per_shard, n_bits_max), jnp.int32)
+            for j, step in enumerate(steps):
+                oj = step(xw, t0)
+                bj = oj["bits"].astype(jnp.int32)
+                if bj.shape[1] < n_bits_max:
+                    bj = jnp.pad(bj,
+                                 ((0, 0), (0, n_bits_max - bj.shape[1])))
+                bits = jnp.where((bid == j)[:, None], bj, bits)
         ok = bid >= 0
 
         def regroup(a, dims):

@@ -201,3 +201,35 @@ def test_sharded_auto_overflow_flag():
     out = run(jnp.asarray(c2r(cap)))
     assert bool(np.asarray(out["overflow"])[0])
     assert not np.any(np.asarray(out["overflow"])[1:])
+
+
+def test_sharded_auto_generic_matches_branch_loop():
+    """generic=True (table-driven single-trellis decode) recovers the
+    same PSDUs as the per-branch loop on the same mixed capture."""
+    from ieee80211_tpu.parallel.sharded import sharded_capture_decode_auto
+
+    sp, dp = 2, 4
+    mesh = make_phy_mesh(8, sp=sp)
+    mpdu, ampdu, branches, w, cap = _mixed_capture(sp, dp)
+    run_g = sharded_capture_decode_auto(mesh, branches, w, generic=True)
+    out = run_g(jnp.asarray(c2r(cap)))
+    ok = np.asarray(out["ok"])
+    bits = np.asarray(out["bits"])
+    fmt = np.asarray(out["fmt"])
+    psdu_len = np.asarray(out["psdu_len"])
+    from ieee80211_tpu.mac import deaggregate_vht
+
+    def _fcs_valid(f, psdu):
+        if f == 2:
+            subs = deaggregate_vht(psdu)
+            return bool(subs) and all(s.fcs_ok for s in subs)
+        return fcs_ok(psdu)
+
+    for r in range(dp):
+        got = [(int(fmt[r, j]), _mpdu_of(bits[r, j], int(psdu_len[r, j])))
+               for j in range(ok.shape[1]) if ok[r, j]]
+        got = [(f, m) for f, m in got if _fcs_valid(f, m)]
+        assert sorted(f for f, _ in got) == [0, 1, 2], f"row {r}: {got}"
+        res = SisoReceiver().decode_capture(cap[r])
+        want = {x.psdu for x in res if x.fcs_ok}
+        assert {m for _, m in got} == want
