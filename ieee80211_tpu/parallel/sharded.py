@@ -12,7 +12,7 @@ TPU-native replacement for the reference's scaling story (SURVEY.md §2.5):
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -205,11 +205,31 @@ def sharded_capture_decode(mesh, mod: Mod, n_sym: int, window_len: int,
 # one XLA program over the mesh)
 # ---------------------------------------------------------------------------
 
-# nDBPS lookup tables for the in-graph planner (20 MHz envelope)
+# nDBPS lookup tables for the in-graph planner (20 MHz defaults; the
+# wideband variants are generated from the Mod descriptor)
 _NDBPS_L = np.array([24, 36, 48, 72, 96, 144, 192, 216], np.int32)
 _NDBPS_HT = np.array([26, 52, 78, 104, 156, 208, 234, 260], np.int32)
 _NDBPS_VHT = np.array([26, 52, 78, 104, 156, 208, 234, 260, 312, 1],
                       np.int32)  # mcs9 invalid @ 20 MHz 1SS
+
+
+@lru_cache(maxsize=None)
+def _ndbps_q(q: int):
+    """(ht [8], vht [10]) single-stream nDBPS at the capture bandwidth
+    (invalid combos -> 1, which the length gates then reject)."""
+    from ..specs import BW
+    bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[q]
+    ht = np.ones(8, np.int32)
+    vht = np.ones(10, np.int32)
+    for m in range(8):
+        if bw != BW.BW80:            # HT exists at 20/40 MHz only
+            ht[m] = Mod(F.HT, m, bw, 1).nDBPS
+    for m in range(10):
+        try:
+            vht[m] = Mod(F.VHT, m, bw, 1).nDBPS
+        except ValueError:
+            pass
+    return ht, vht
 
 
 def _bits_val(bits, lo, n):
@@ -218,13 +238,15 @@ def _bits_val(bits, lo, n):
     return jnp.sum(bits[:, lo:lo + n].astype(jnp.int32) * w, axis=-1)
 
 
-def _auto_plan(meta: dict) -> dict:
+def _auto_plan(meta: dict, q: int = 1) -> dict:
     """Vectorized in-graph packet planner (jit analog of
-    SisoReceiver._plan_one, 20 MHz SISO envelope).
+    SisoReceiver._plan_one, SISO envelope at the capture bandwidth).
 
-    meta: the sig_parse output dict (traced arrays, [N]-shaped fields).
-    Returns fmt (0=L/1=HT/2=VHT, -1 invalid), mcs, n_sym, psdu_len,
-    ampdu — all [N] int32/bool.
+    q: capture oversample factor (1/2/4 = 20/40/80 MHz): wideband
+    captures plan HT40 / VHT40 / VHT80 packets (legacy payloads exist
+    only at 20 MHz). meta: the sig_parse output dict (traced arrays,
+    [N]-shaped fields). Returns fmt (0=L/1=HT/2=VHT, -1 invalid), mcs,
+    n_sym, psdu_len, ampdu — all [N] int32/bool.
     """
     lsig_ok = meta["lsig_ok"]
     snr_ok = meta["snr"] > 0.0          # LTF-corr gate (sync_impl.cc:99)
@@ -241,11 +263,12 @@ def _auto_plan(meta: dict) -> dict:
     pick_ht = nl & ht_ok & ~pick_vht
     pick_l = lsig_ok & ~pick_vht & ~pick_ht
 
-    # legacy
+    # legacy (20 MHz captures only)
     ndl = jnp.asarray(_NDBPS_L)[jnp.clip(l_mcs, 0, 7)]
     l_n_sym = (8 * l_len + 22 + ndl - 1) // ndl
-    l_valid = pick_l & (l_len >= 14) & (l_len <= 4095)
+    l_valid = pick_l & (l_len >= 14) & (l_len <= 4095) & (q == 1)
 
+    ht_tab, vht_tab = _ndbps_q(q)
     # HT-SIG fields (cloud80211phy.cc:730-751 semantics, vectorized)
     hb = meta["ht_bits"]
     ht_mcs = _bits_val(hb, 0, 7)
@@ -254,10 +277,10 @@ def _auto_plan(meta: dict) -> dict:
     ht_aggre = hb[:, 27].astype(bool)
     ht_sgi = hb[:, 31].astype(bool)
     ht_mcs_c = jnp.clip(ht_mcs, 0, 7)
-    ndh = jnp.asarray(_NDBPS_HT)[ht_mcs_c]
+    ndh = jnp.asarray(ht_tab)[ht_mcs_c]
     ht_n_sym = (8 * ht_len + 22 + ndh - 1) // ndh
-    ht_valid = pick_ht & (ht_mcs <= 7) & ~ht_bw40 & ~ht_sgi \
-        & (ht_len >= 1) & (ht_len <= 4095)
+    ht_valid = pick_ht & (ht_mcs <= 7) & (ht_bw40 == (q == 2)) \
+        & (q <= 2) & ~ht_sgi & (ht_len >= 1) & (ht_len <= 4095)
 
     # VHT-SIG-A fields; nSym from the spoofed L-SIG duration
     vb = meta["vht_bits"]
@@ -268,10 +291,11 @@ def _auto_plan(meta: dict) -> dict:
     n_sym_l = (l_len * 8 + 22 + 23) // 24
     vht_n_sym = n_sym_l - 4 - 1          # nLTF = 1 (SISO)
     vht_mcs_c = jnp.clip(vht_mcs, 0, 9)
-    vht_psdu = (vht_n_sym * jnp.asarray(_NDBPS_VHT)[vht_mcs_c] - 16 - 6) // 8
-    vht_valid = pick_vht & (vht_bw == 0) & (vht_nsts == 1) & ~vht_sgi \
-        & (vht_mcs <= 8) & (vht_n_sym >= 1) & (vht_psdu >= 1) \
-        & (vht_psdu <= 4095)
+    vndbps = jnp.asarray(vht_tab)[vht_mcs_c]
+    vht_psdu = (vht_n_sym * vndbps - 16 - 6) // 8
+    vht_valid = pick_vht & (vht_bw == {1: 0, 2: 1, 4: 2}[q]) \
+        & (vht_nsts == 1) & ~vht_sgi & (vndbps > 1) \
+        & (vht_n_sym >= 1) & (vht_psdu >= 1) & (vht_psdu <= 4095)
 
     fmt = jnp.where(vht_valid, 2, jnp.where(ht_valid, 1,
                     jnp.where(l_valid, 0, -1)))
@@ -287,10 +311,11 @@ def _auto_plan(meta: dict) -> dict:
                 psdu_len=psdu_len.astype(jnp.int32), ampdu=ht_aggre)
 
 
-def _auto_plan2(meta: dict) -> dict:
+def _auto_plan2(meta: dict, q: int = 1) -> dict:
     """_auto_plan extended to the DUAL-CHAIN envelope: adds nSS (1 or 2)
     and an NDP flag (VHT whose spoofed-length symbol budget is <= 0,
-    lib/decode_impl.cc:100-121). 20 MHz; HT MCS 0-15, VHT nSTS 1-2."""
+    lib/decode_impl.cc:100-121). HT MCS 0-15 (20/40 MHz), VHT nSTS 1-2
+    at the capture bandwidth (q = 1/2/4)."""
     lsig_ok = meta["lsig_ok"]
     snr_ok = meta["snr"] > 0.0
     l_mcs = meta["l_mcs"].astype(jnp.int32)
@@ -306,8 +331,9 @@ def _auto_plan2(meta: dict) -> dict:
 
     ndl = jnp.asarray(_NDBPS_L)[jnp.clip(l_mcs, 0, 7)]
     l_n_sym = (8 * l_len + 22 + ndl - 1) // ndl
-    l_valid = pick_l & (l_len >= 14) & (l_len <= 4095)
+    l_valid = pick_l & (l_len >= 14) & (l_len <= 4095) & (q == 1)
 
+    ht_tab, vht_tab = _ndbps_q(q)
     hb = meta["ht_bits"]
     ht_mcs = _bits_val(hb, 0, 7)
     ht_bw40 = hb[:, 7].astype(bool)
@@ -315,10 +341,10 @@ def _auto_plan2(meta: dict) -> dict:
     ht_aggre = hb[:, 27].astype(bool)
     ht_sgi = hb[:, 31].astype(bool)
     ht_nss = ht_mcs // 8 + 1
-    ndh = jnp.asarray(_NDBPS_HT)[jnp.clip(ht_mcs % 8, 0, 7)] * ht_nss
+    ndh = jnp.asarray(ht_tab)[jnp.clip(ht_mcs % 8, 0, 7)] * ht_nss
     ht_n_sym = (8 * ht_len + 22 + ndh - 1) // ndh
-    ht_valid = pick_ht & (ht_mcs <= 15) & ~ht_bw40 & ~ht_sgi \
-        & (ht_len >= 1) & (ht_len <= 4095)
+    ht_valid = pick_ht & (ht_mcs <= 15) & (ht_bw40 == (q == 2)) \
+        & (q <= 2) & ~ht_sgi & (ht_len >= 1) & (ht_len <= 4095)
 
     vb = meta["vht_bits"]
     vht_bw = _bits_val(vb, 0, 2)
@@ -330,12 +356,12 @@ def _auto_plan2(meta: dict) -> dict:
     # nSTS > 2 only relevant for NDPs (data envelope is <= 2 streams)
     v_nltf = jnp.where(vht_nsts > 2, 4, v_nltf)
     vht_n_sym = n_sym_l - 2 - 1 - v_nltf - 1
-    vndbps = jnp.asarray(_NDBPS_VHT)[jnp.clip(vht_mcs, 0, 9)] * \
-        jnp.minimum(vht_nsts, 2)
+    vndbps1 = jnp.asarray(vht_tab)[jnp.clip(vht_mcs, 0, 9)]
+    vndbps = vndbps1 * jnp.minimum(vht_nsts, 2)
     vht_psdu = (vht_n_sym * vndbps - 16 - 6) // 8
-    vht_fields_ok = pick_vht & (vht_bw == 0) & ~vht_sgi
+    vht_fields_ok = pick_vht & (vht_bw == {1: 0, 2: 1, 4: 2}[q]) & ~vht_sgi
     ndp = vht_fields_ok & (vht_nsts >= 1) & (vht_n_sym <= 0)
-    vht_valid = vht_fields_ok & (vht_nsts <= 2) & (vht_mcs <= 8) \
+    vht_valid = vht_fields_ok & (vht_nsts <= 2) & (vndbps1 > 1) \
         & (vht_n_sym >= 1) & (vht_psdu >= 1) & (vht_psdu <= 4095)
 
     fmt = jnp.where(vht_valid, 2, jnp.where(ht_valid, 1,
@@ -366,7 +392,7 @@ def branch_window_len(mod: Mod, n_sym_cap: int) -> int:
 
 def sharded_capture_decode_auto(mesh, branches, window_len: int,
                                 k_per_shard: int = 4,
-                                generic: bool = False):
+                                generic: bool = False, q: int = 1):
     """Mixed-format sharded capture decode with IN-GRAPH auto-detection.
 
     branches: static tuple of (Mod, n_sym_cap) decode branches. Every
@@ -403,11 +429,16 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
     from ..rx.receiver import sig_parse
 
     branches = tuple(branches)
+    from ..specs import BW
+    bw_q = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[q]
     for m, cap in branches:
+        assert m.bw == bw_q, f"branch {m} vs capture bandwidth {bw_q}"
         need = branch_window_len(m, cap)
         assert window_len >= need, (
             f"window_len {window_len} < {need} required by branch "
             f"({m.fmt.name} mcs{m.mcs}, {cap} sym)")
+    if generic:
+        assert q == 1, "the generic decoder covers the 20 MHz envelope"
     if generic:
         from ..rx.generic import GenericSisoDecoder
         cap_max = max(cap for _, cap in branches)
@@ -442,10 +473,11 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
         perm = [(i, (i - 1) % n_sp) for i in range(n_sp)]
         halo = jax.lax.ppermute(xb2[:, :w], "sp", perm)
         ext = jnp.concatenate([xb2, halo], axis=1)
-        ac = sync.stf_autocorr(r2c(ext))
+        ac = sync.stf_autocorr(r2c(ext), lag=16 * q, win=16 * q)
         tail = (jnp.arange(ac.shape[1]) >= tl) & (idx == n_sp - 1)
         ac = jnp.where(tail[None, :], 0.0, ac)
-        t_ext = _local_triggers(ac[:, :tl], k_per_shard + 1)
+        t_ext = _local_triggers(ac[:, :tl], k_per_shard + 1,
+                                plateau=20 * q, min_gap=400 * q)
         t_loc = t_ext[:, :k_per_shard]
         overflow = t_ext[:, k_per_shard] < tl          # [B] capacity hit
         valid = t_loc < tl
@@ -473,15 +505,15 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
         prev_t = jnp.concatenate(
             [jnp.full_like(tg_all[:, :1], -(1 << 30)), tg_all[:, :-1]],
             axis=1)
-        val_all = val_all & (tg_all - prev_t >= 400)
+        val_all = val_all & (tg_all - prev_t >= 400 * q)
 
         mine = jnp.take(wins_all.reshape(b, k_per_shard, n_sp, w, 2),
                         idx, axis=2)
         xw = mine.reshape(b * k_per_shard, w, 2)
         t0 = jnp.zeros(b * k_per_shard, jnp.int32)
 
-        meta = sig_parse(xw, t0)
-        plan = _auto_plan(meta)
+        meta = sig_parse(xw, t0, q=q)
+        plan = _auto_plan(meta, q)
 
         # branch routing: first branch whose (fmt, mcs) matches and whose
         # symbol capacity fits
@@ -543,7 +575,7 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
 
 def sharded_capture_decode_auto2(mesh, branches, window_len: int,
                                  k_per_shard: int = 4,
-                                 branch_cap: int = None):
+                                 branch_cap: int = None, q: int = 1):
     """DUAL-CHAIN mixed-format sharded capture decode with in-graph
     auto-detection — the one-program mesh analog of the reference's rx2
     flowgraph (examples/rx2.grc): SISO packets decode with MRC combining
@@ -571,10 +603,13 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
     from ..rx.receiver import OFF_NLLTF, sig_parse_mimo
 
     branches = tuple(branches)
+    from ..specs import BW
+    bw_q = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[q]
     decs = [(MimoDataDecoder(m, cap) if m.nSS == 2
              else MrcDataDecoder(m, cap)) for m, cap in branches]
     for (m, cap), dec in zip(branches, decs):
-        need = 272 + dec.data_offset() + (cap * 80 + 80)
+        assert m.bw == bw_q, f"branch {m} vs capture bandwidth {bw_q}"
+        need = 272 * q + dec.data_offset() + (cap * 80 + 80) * q
         assert window_len >= need, (
             f"window_len {window_len} < {need} required by branch "
             f"({m.fmt.name} mcs{m.mcs} nSS{m.nSS}, {cap} sym)")
@@ -597,11 +632,13 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
         ext = jnp.concatenate([xb2, halo], axis=2)      # [B, nRx, Tl+w, 2]
         # trigger on the max of per-chain autocorrelations: detection
         # survives one chain's fade (beyond rx2.grc's chain-0 trigger)
-        ac = sync.stf_autocorr(r2c(ext.reshape(b * nrx, tl + w, 2)))
+        ac = sync.stf_autocorr(r2c(ext.reshape(b * nrx, tl + w, 2)),
+                               lag=16 * q, win=16 * q)
         ac = jnp.max(ac.reshape(b, nrx, -1), axis=1)
         tail = (jnp.arange(ac.shape[1]) >= tl) & (idx == n_sp - 1)
         ac = jnp.where(tail[None, :], 0.0, ac)
-        t_ext = _local_triggers(ac[:, :tl], k_per_shard + 1)
+        t_ext = _local_triggers(ac[:, :tl], k_per_shard + 1,
+                                plateau=20 * q, min_gap=400 * q)
         t_loc = t_ext[:, :k_per_shard]
         overflow = t_ext[:, k_per_shard] < tl
         valid = t_loc < tl
@@ -632,7 +669,7 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
         prev_t = jnp.concatenate(
             [jnp.full_like(tg_all[:, :1], -(1 << 30)), tg_all[:, :-1]],
             axis=1)
-        val_all = val_all & (tg_all - prev_t >= 400)
+        val_all = val_all & (tg_all - prev_t >= 400 * q)
 
         mine = jnp.take(wins_all.reshape(b, k_per_shard, n_sp, nrx, w, 2),
                         idx, axis=2)
@@ -640,8 +677,8 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
         xw = mine.reshape(n_loc, nrx, w, 2)
         t0 = jnp.zeros(n_loc, jnp.int32)
 
-        meta = sig_parse_mimo(xw, t0)
-        plan = _auto_plan2(meta)
+        meta = sig_parse_mimo(xw, t0, q=q)
+        plan = _auto_plan2(meta, q)
         ltf_start = meta["ltf_start"].astype(jnp.int32)
         cfo = meta["cfo"]
 
@@ -691,9 +728,9 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
         xs = r2c(xw)                             # [n_loc, nRx, w]
         ys = xs * sync.cfo_ramp(cfo, w)[:, None, :]
         ndp_win = jax.vmap(lambda row, s: jax.lax.dynamic_slice(
-            row, (0, s), (nrx, 160)))(ys, ltf_start + OFF_NLLTF)
+            row, (0, s), (nrx, 160 * q)))(ys, ltf_start + OFF_NLLTF * q)
         ndp_ltf = jnp.stack([jnp.real(ndp_win), jnp.imag(ndp_win)],
-                            axis=-1)             # [n_loc, nRx, 160, 2]
+                            axis=-1)             # [n_loc, nRx, 160q, 2]
 
         def regroup(a, dims):
             g = jax.lax.all_gather(a, "sp")
@@ -707,7 +744,7 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
                 regroup(plan["n_sym"], ()), regroup(plan["psdu_len"], ()),
                 regroup(plan["ampdu"], ()),
                 regroup(plan["ndp"], ()) & val_all,
-                regroup(ndp_ltf, (nrx, 160, 2)), ov_all, branch_overflow)
+                regroup(ndp_ltf, (nrx, 160 * q, 2)), ov_all, branch_overflow)
 
     @partial(jax.jit, in_shardings=(cap_shard,))
     def run(capture):

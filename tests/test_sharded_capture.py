@@ -233,3 +233,48 @@ def test_sharded_auto_generic_matches_branch_loop():
         res = SisoReceiver().decode_capture(cap[r])
         want = {x.psdu for x in res if x.fcs_ok}
         assert {m for _, m in got} == want
+
+
+def test_sharded_auto_wideband_80mhz():
+    """The one-program sharded loop at q=4: an 80 MHz VHT MCS9 capture
+    decodes through sharded_capture_decode_auto (VERDICT r4 item 7 —
+    the mesh loop now spans the repo's full bandwidth envelope)."""
+    from ieee80211_tpu.parallel.sharded import (branch_window_len,
+                                                sharded_capture_decode_auto)
+    from ieee80211_tpu.specs import BW
+    from ieee80211_tpu.mac import aggregate_vht, deaggregate_vht
+    from ieee80211_tpu.specs.modulation import ppdu_params_aggregate
+    from ieee80211_tpu.tx import gen_ampdu
+
+    sp, dp = 2, 2
+    mesh = make_phy_mesh(4, sp=sp)
+    mpdu = build_udp_mpdu(b"wideband mesh loop payload 80MHz", MAC_CFG)
+    ampdu = aggregate_vht([mpdu])
+    mod = Mod(F.VHT, 9, BW.BW80, 1)
+    pp = ppdu_params_aggregate(mod, len(ampdu))
+    wave = finalize(gen_ampdu(ampdu, mod).waveform, 0.2, 35000.0,
+                    gap=False)[0]
+    w = branch_window_len(mod, pp.n_sym)
+    t_len = -(-(len(wave) + 3000 + 2 * w) // (512 * sp)) * (512 * sp)
+    cap = np.zeros((dp, t_len), dtype=np.complex64)
+    for r in range(dp):
+        o = 256 + 128 * r
+        cap[r, o:o + len(wave)] += wave
+    run = sharded_capture_decode_auto(mesh, ((mod, pp.n_sym),), w,
+                                      k_per_shard=4, q=4)
+    out = run(jnp.asarray(c2r(cap)))
+    ok = np.asarray(out["ok"])
+    bits = np.asarray(out["bits"])
+    pl = np.asarray(out["psdu_len"])
+    n80 = 0
+    for r in range(dp):
+        for j in range(ok.shape[1]):
+            if not ok[r, j]:
+                continue
+            psdu = np.packbits(bits[r, j, 16:16 + int(pl[r, j]) * 8]
+                               .astype(np.uint8),
+                               bitorder="little").tobytes()
+            subs = deaggregate_vht(psdu)
+            if subs and subs[0].fcs_ok and subs[0].mpdu == mpdu:
+                n80 += 1
+    assert n80 == dp, f"{n80}/{dp}"
