@@ -441,9 +441,13 @@ def main():
     # secondary metric: DUAL-CHAIN sustained stream through the inherited
     # MimoReceiver.decode_captures (the rx2.grc real-time analog): mixed
     # SISO(MRC)/2x2 packets on two RX chains, per-chain fused native
-    # scan+quantize ingest.
+    # scan+quantize ingest. Measured SUSTAINED (6 captures, ~5.3M samples
+    # each — short streams measure pipeline fill/drain, not throughput)
+    # and A/B'd across the detector modes (VERDICT r4 item 1): "auto" =
+    # ZF with a one-shot exact-ML retry on FCS failure.
     mark("api stream mimo")
     api_stream_mimo_sps = 0.0
+    mimo_det = {}
     try:
         from ieee80211_tpu.rx.mimo import MimoReceiver
         from ieee80211_tpu.specs import BW as _BW5
@@ -471,24 +475,79 @@ def main():
             parts2.append(w2.astype(np.complex64))
             n_mimo_pkts += 1
         seg2 = np.concatenate(parts2, axis=1)
-        reps = 40
+        reps = 120
         big2 = np.concatenate([seg2] * reps, axis=1)
         caps2 = [np.concatenate(
             [np.zeros((2, 64 + 32 * k), np.complex64), big2], axis=1)
-            for k in range(3)]
-        rxm = MimoReceiver()
-        stream2 = rxm.decode_captures(caps2)   # warm
+            for k in range(6)]
+        total2 = sum(c.shape[1] for c in caps2)
         want2 = n_mimo_pkts * reps
-        for res_k in stream2:
-            okk = sum(1 for r in res_k if r.fcs_ok)
-            assert okk == want2, f"mimo stream decode only {okk}/{want2}"
-        dts2 = []
+        rxs2 = {d: MimoReceiver(detector=d) for d in ("auto", "zf", "ml")}
+        for d, rxm in rxs2.items():            # warm + FCS gate
+            stream2 = rxm.decode_captures(caps2)
+            for res_k in stream2:
+                okk = sum(1 for r in res_k if r.fcs_ok)
+                assert okk == want2, \
+                    f"mimo stream ({d}) decode only {okk}/{want2}"
+        for _ in range(3):                     # alternating best-of-3
+            for d, rxm in rxs2.items():
+                t = time.perf_counter()
+                rxm.decode_captures(caps2)
+                dt2 = time.perf_counter() - t
+                mimo_det[d] = max(mimo_det.get(d, 0.0), total2 / dt2)
+        api_stream_mimo_sps = mimo_det.get("auto", 0.0)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+
+    # secondary metric: downlink MU through the PUBLIC streaming API —
+    # mixed SU+MU captures through SisoReceiver(mu_gid).decode_captures
+    # (the batched MU-STA lanes; VERDICT r4 missing #1 / item 3)
+    mark("api stream mu")
+    api_mu_sps = 0.0
+    try:
+        from ieee80211_tpu.specs import BW as _BW6
+        from ieee80211_tpu.tx import gen_ampdu_mu as _gam6
+        rng6 = np.random.default_rng(21)
+        qi = np.tile(np.eye(2, dtype=np.complex64)[None], (64, 1, 1))
+        parts6 = []
+        n_mu = 0
+        for i in range(10):
+            pl0 = bytes(rng6.integers(0, 256, 400, dtype=np.uint8))
+            pl1 = bytes(rng6.integers(0, 256, 300, dtype=np.uint8))
+            if i % 2:
+                mu6 = _gam6([_agg3([_bum3(pl0, _cfg3)]),
+                             _agg3([_bum3(pl1, _cfg3)])],
+                            [_Mod3(_F3.VHT, 4, _BW6.BW20, 1),
+                             _Mod3(_F3.VHT, 2, _BW6.BW20, 1)],
+                            bfq=qi, group_id=2)
+                wv6 = _fin3(mu6.waveform, multiplier=0.2,
+                            cfo_hz=float(rng6.uniform(-3e4, 3e4)),
+                            gap=False)[0]    # STA0 hears chain 0
+                n_mu += 1
+            else:
+                wv6 = _fin3(_ga3(_agg3([_bum3(pl0, _cfg3)]),
+                                 _Mod3(_F3.VHT, 7)).waveform,
+                            multiplier=0.2, cfo_hz=float(
+                                rng6.uniform(-3e4, 3e4)), gap=False)[0]
+            parts6.append(np.zeros(800, np.complex64))
+            parts6.append(wv6.astype(np.complex64))
+        seg6 = np.concatenate(parts6)
+        big6 = np.concatenate([seg6] * 60)
+        caps6 = [np.concatenate([np.zeros(64 + 32 * k, np.complex64), big6])
+                 for k in range(4)]
+        rx6 = SisoReceiver(mu_pos=0, mu_gid=2)
+        stream6 = rx6.decode_captures(caps6)   # warm
+        for res_k in stream6:
+            n_mu_ok = sum(1 for r in res_k if r.mu and r.fcs_ok)
+            n_su_ok = sum(1 for r in res_k if not r.mu and r.fcs_ok)
+            assert n_mu_ok == n_mu * 60 and n_su_ok == 5 * 60, \
+                f"mu stream decode {n_mu_ok}/{n_mu * 60} mu, {n_su_ok} su"
+        dts6 = []
         for _ in range(3):
             t = time.perf_counter()
-            stream2 = rxm.decode_captures(caps2)
-            dts2.append(time.perf_counter() - t)
-        api_stream_mimo_sps = (sum(c.shape[1] for c in caps2)
-                               / float(np.min(dts2)))
+            rx6.decode_captures(caps6)
+            dts6.append(time.perf_counter() - t)
+        api_mu_sps = sum(len(c) for c in caps6) / float(np.min(dts6))
     except Exception:
         traceback.print_exc(file=sys.stderr)
 
@@ -508,6 +567,9 @@ def main():
             "rx_decode_sps_vht80_mcs9": round(wb_sps),
             "mu_tx_samples_per_sec_2user_2x2": round(mu_sps),
             "mu_sta_decode_samples_per_sec": round(mu_rx_sps),
+            # one-shot LATENCY metric (a single small capture end to end,
+            # every round trip serial) — NOT comparable to the pipelined
+            # api_stream_* throughput rows
             "api_decode_capture_packets_per_sec": round(api_pps, 1),
             "api_decode_capture_samples_per_sec": round(api_msps),
             "api_stream_packets_per_sec": round(api_stream_pps),
@@ -515,6 +577,9 @@ def main():
             "api_stream_sps_host_trigger": round(api_stream_host),
             "api_stream_sps_device_trigger": round(api_stream_dev),
             "api_stream_mimo_samples_per_sec": round(api_stream_mimo_sps),
+            "api_stream_mimo_sps_by_detector": {
+                k: round(v) for k, v in mimo_det.items()},
+            "api_stream_mu_samples_per_sec": round(api_mu_sps),
             "backend": jax.default_backend(),
         },
     }))

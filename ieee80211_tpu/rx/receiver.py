@@ -1313,7 +1313,10 @@ class SisoReceiver:
         for i in np.flatnonzero(cand):
             if n_sym[i] <= 0:
                 continue            # MU NDPs don't exist; gid'd NDP = junk
-            ext = (int(ltf_start[i]) + 448 + 80 * int(n_ltf[i]) + 160
+            # EXACT packet end (SIG-B + data; a packet whose last sample
+            # is the capture's last sample is complete — the device
+            # capture is zero-padded past cap_len)
+            ext = (int(ltf_start[i]) + 448 + 80 * int(n_ltf[i]) + 80
                    + int(n_sym[i]) * 80)
             if int(win_start[i]) + ext > cap_len:
                 continue
