@@ -114,6 +114,32 @@ class PhyService:
             records.append(d.pack_channel_report(ndp.ltf_iq))
         return records
 
+    def rx_captures(self, captures) -> List[List[bytes]]:
+        """Sustained streaming decode: a LIST of captures through the
+        pipelined `decode_captures` path (the reference's continuous
+        20 Msps flowgraph operating point, examples/rx.grc) — per-capture
+        record lists, with NDP channel reports surfaced inline.
+
+        All captures must share a shape family: [N] (SISO) or [2, N]
+        (dual-chain)."""
+        caps = [np.asarray(c) for c in captures]
+        if not caps:
+            return []
+        dual = caps[0].ndim == 2
+        rx = self.mimo_rx if dual else self.siso_rx
+        results, ndps = rx.decode_captures_full(caps)
+        out: List[List[bytes]] = []
+        for k, res_k in enumerate(results):
+            recs: List[bytes] = []
+            for r in res_k:
+                for mpdu in r.mpdus:
+                    recs.append(d.pack_rx_record(r.fmt.value, mpdu, r.mcs))
+            for nd in ndps[k]:
+                for ndp in (nd if isinstance(nd, list) else [nd]):
+                    recs.append(d.pack_channel_report(ndp.ltf_iq))
+            out.append(recs)
+        return out
+
     # -- UDP mode (reference port pair) ------------------------------------
     def serve_udp(self, on_waveform: Callable[[np.ndarray], None],
                   tx_addr=("127.0.0.1", 9528), stop_event=None):

@@ -319,6 +319,14 @@ def next_pow2(n: int, lo: int = 1) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def group_pad(n: int) -> int:
+    """Decode-group batch padding: pow2 below 256 (bounds compile shapes
+    for sparse traffic), multiples of 256 above (a 720-window group padded
+    to pow2 wasted 42% of its decode on replicated rows; 256-multiples cap
+    the waste at <1/3 while keeping the shape set small)."""
+    return next_pow2(n) if n <= 256 else -(-n // 256) * 256
+
+
 @partial(jax.jit, static_argnames=("npad",))
 def _pad_capture(x: jnp.ndarray, npad: int) -> jnp.ndarray:
     """Zero-pad an uploaded capture to its pow2 working length ON DEVICE.
@@ -1180,7 +1188,7 @@ class SisoReceiver:
                 dec = (decoder_for or self._decoder_for)(mod, nb)
             w = dec.window_capacity()
             g = len(items)
-            gp = next_pow2(g)
+            gp = group_pad(g)
             t_abs = np.zeros(gp, np.int32)
             ltf = np.zeros(gp, np.int32)
             cfo = np.zeros(gp, np.float32)
@@ -1337,7 +1345,7 @@ class SisoReceiver:
         for (si, nt), items in groups.items():
             wlen = 272 + 448 + 80 * int(tables.N_LTF[nt]) + 160
             g = len(items)
-            gp = next_pow2(g)
+            gp = group_pad(g)
             t_abs = np.zeros(gp, np.int32)
             ltf = np.zeros(gp, np.int32)
             cfo = np.zeros(gp, np.float32)

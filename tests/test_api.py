@@ -131,3 +131,33 @@ def test_mu_multistream_user_request():
     rx = wave[2].astype(np.complex64)
     res = sta_decode_mu(0.3 * rx, mupos=1)
     assert any(r.fcs_ok and m1 in r.mpdus for r in res)
+
+
+def test_phy_service_streaming_rx():
+    """PhyService.rx_captures: the sustained streaming entry (pipelined
+    decode_captures under the wire API), SU + MU + NDP inline."""
+    svc = PhyService(mupos=0, mugid=2)
+    ap = PhyService(mugid=0)
+    m_su = build_udp_mpdu(b"streaming service su payload", CFG)
+    wave_su = ap.handle_request(d.pack_data(aggregate_vht([m_su]),
+                                            Mod(F.VHT, 4)))[0]
+    ndp_wave = ap.handle_request(d.pack_ndp())[0]
+    qi = np.tile(np.eye(2, dtype=np.complex64)[None], (64, 1, 1))
+    assert ap.handle_request(d.pack_bfq(qi)) is None
+    m_mu = build_udp_mpdu(b"streaming service mu payload", CFG)
+    wave_mu = ap.handle_request(d.pack_mu_data(
+        aggregate_vht([m_mu]), Mod(F.VHT, 2),
+        aggregate_vht([m_su]), Mod(F.VHT, 0), 2))[0]  # identity Q: chain 0
+    cap = np.concatenate([np.zeros(700, np.complex64), wave_su,
+                          np.zeros(700, np.complex64), ndp_wave,
+                          np.zeros(700, np.complex64), wave_mu,
+                          np.zeros(700, np.complex64)])
+    recs_stream = svc.rx_captures([cap, cap])
+    assert len(recs_stream) == 2
+    for recs in recs_stream:
+        parsed = [d.unpack_rx_record(r) for r in recs]
+        datas = [r for r in parsed if isinstance(r, d.RxRecord)]
+        chans = [r for r in parsed if isinstance(r, d.ChannelReport)]
+        assert any(r.payload == m_su for r in datas)
+        assert any(r.payload == m_mu for r in datas)
+        assert len(chans) == 1
