@@ -73,6 +73,9 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
     npaths = 1 << k
     n_low = 64 // npaths
     n_ch = n_blk // chunk
+    p2k = -(-2 * k // 8) * 8     # flattened (step, bit) axis padded to 8:
+                                 # Mosaic slices need the sublane dim
+                                 # tile-aligned (radix 3's bare 6 fails)
     assert k * pack <= 8 and chunk % pack == 0
 
     def kernel(llr_hbm, wmat_ref, bits_ref, dec_ref, m_ref, pk_ref,
@@ -106,9 +109,9 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
 
             def fwd_step(tt, _):
                 t = c * chunk + tt
-                # [2k, TB]: the (step, coded-bit) axes arrive flattened —
-                # int8 VMEM slices need the sublane dim 4-aligned, a bare
-                # size-2 axis is not (Mosaic tiling (4,128))
+                # [p2k, TB]: the (step, coded-bit) axes arrive flattened
+                # and padded to the sublane tile (zero columns of wmat
+                # cancel the pad rows)
                 llr2 = buf[slot, tt].astype(jnp.float32)
                 bm = jnp.dot(wmat.astype(jnp.float32), llr2,
                              preferred_element_type=jnp.float32)
@@ -196,6 +199,7 @@ def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
     if llr_dt is None:
         llr_dt = dt
     npaths = 1 << k
+    p2k = -(-2 * k // 8) * 8
     kern = _kernel(n_blk, chunk, k, TB, pack, renorm, dt, llr_dt)
     return pl.pallas_call(
         kern,
@@ -212,7 +216,7 @@ def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
             pltpu.VMEM((n_blk // pack, 64, TB), jnp.int8),  # survivors
             pltpu.VMEM((64, TB), dt),                       # metrics
             pltpu.VMEM((64, TB), jnp.int32),                # pack acc
-            pltpu.VMEM((2, chunk, 2 * k, TB), llr_dt),      # llr double buf
+            pltpu.VMEM((2, chunk, p2k, TB), llr_dt),        # llr double buf
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -290,15 +294,22 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
     b_pad = -(-b // tb) * tb
     if b_pad != b:
         lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
-    # [B, T, 2] -> [nBlk, 2k, B] (flattened (k, 2) axis: see kernel note)
+    # [B, T, 2] -> [nBlk, p2k, B]: flattened (k, 2) axis padded to the
+    # 8-sublane tile (see kernel note); wmat gets matching zero columns
+    p2k = -(-2 * k // 8) * 8
     ltr = jnp.moveaxis(lp.reshape(b_pad, n_blk, 2 * k), 0, -1)
+    if p2k != 2 * k:
+        ltr = jnp.pad(ltr, ((0, 0), (0, p2k - 2 * k), (0, 0)))
     ltr = (jnp.round(ltr).astype(jnp.int8) if int8_llr
            else ltr.astype(dt))
     chunk = _pick_chunk(n_blk, pack)
     call = _build_call(n_blk, chunk, k, b_pad // tb, tb, pack, renorm,
                        met_dt, interpret,
                        llr_dt=jnp.int8 if int8_llr else None)
-    wmat = jnp.asarray(_w_cat(k)).astype(met_dt)
+    wmat_np = _w_cat(k)
+    if p2k != 2 * k:
+        wmat_np = np.pad(wmat_np, ((0, 0), (0, p2k - 2 * k)))
+    wmat = jnp.asarray(wmat_np).astype(met_dt)
     packed = call(ltr, wmat)                               # [nBlk, B] int32
     packed = jnp.moveaxis(packed, 0, 1)[:b]                # [B, nBlk]
     bits = (packed[:, :, None] >> jnp.arange(k, dtype=jnp.int32)) & 1
