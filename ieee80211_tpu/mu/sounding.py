@@ -267,17 +267,28 @@ def _decode_mu_sigb(x2, ltf_start, cfo, mupos: int, n_sts_total: int = 2):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("wlen", "stream_idx", "n_sts_total"))
+# MU VHT-SIG-B geometry per bandwidth: (length-field bits, total info
+# bits incl. the standard's pre-BCC repetition — same totals as the SU
+# SIGB_DIMS; tx/golden.vhtsigb_bits_mu)
+MU_SIGB_LEN = {BW.BW20: 16, BW.BW40: 17, BW.BW80: 19}
+MU_SIGB_INFO = {BW.BW20: 26, BW.BW40: 54, BW.BW80: 117}
+
+
+@_partial(jax.jit, static_argnames=("wlen", "stream_idx", "n_sts_total",
+                                    "q"))
 def mu_sigb_parse_capture(cap, scale, t_abs, ltf_start, cfo, wlen: int,
-                          stream_idx: int, n_sts_total: int):
+                          stream_idx: int, n_sts_total: int, q: int = 1):
     """Batched MU VHT-SIG-B decode over in-graph capture windows.
 
     cap: [Npad, 2] (1 chain) or [nRx, Npad, 2] (multi-chain, MRC-combined);
-    t_abs: [G] window starts; ltf_start/cfo: [G] per-window sync results.
-    Returns [G] int32 — the 26 decoded SIG-B info bits packed LSB-first
-    (one scalar fetch per window instead of a bit-plane).
+    t_abs: [G] window starts; ltf_start/cfo: [G] per-window sync results;
+    q = 1/2/4 for a 20/40/80 MHz capture. Returns [G] int32 — the first
+    len+mcs+crc-relevant SIG-B info bits packed LSB-first (one scalar
+    fetch per window instead of a bit-plane).
     """
     from ..rx.receiver import capture_windows, capture_windows_mimo
+    bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[q]
+    nfft, gi, sh = 64 * q, 16 * q, 4 * q
     if cap.ndim == 3:
         x2 = capture_windows_mimo(cap, t_abs, wlen)
     else:
@@ -289,34 +300,37 @@ def mu_sigb_parse_capture(cap, scale, t_abs, ltf_start, cfo, wlen: int,
     yf = y.reshape(g * nrx, -1)
     ls2 = jnp.repeat(ltf_start, nrx)
     ltf_f = demod.fft_syms(demod.extract_symbol_windows(
-        yf, ls2 + OFF_NLLTF, n_ltf)).reshape(g, nrx, n_ltf, 64)
-    ref = jnp.asarray(demod.ltf_ref_grid(BW.BW20, False))
+        yf, ls2 + OFF_NLLTF * q, n_ltf, nfft=nfft, gi=gi,
+        shift=sh)).reshape(g, nrx, n_ltf, nfft)
+    ref = jnp.asarray(demod.ltf_ref_grid(bw, False))
     safe_ref = jnp.where(ref == 0, 1.0, ref)
     p = tables.P_LTF_4[:max(n_sts_total, 2), :n_ltf]
     h_u = jnp.einsum("l,brlk->brk", jnp.asarray(p[stream_idx]),
-                     ltf_f) / n_ltf / safe_ref             # [G, R, 64]
+                     ltf_f) / n_ltf / safe_ref             # [G, R, nfft]
     h_u = jnp.where((ref == 0)[None, None], 1.0 + 0j, h_u)
     sb = demod.fft_syms(demod.extract_symbol_windows(
-        yf, ls2 + OFF_NLLTF + 80 * n_ltf, 1)).reshape(g, nrx, 64)
+        yf, ls2 + (OFF_NLLTF + 80 * n_ltf) * q, 1, nfft=nfft, gi=gi,
+        shift=sh)).reshape(g, nrx, nfft)
     # pilots ride the SUM channel over the group's streams (every stream
     # carries SIG-B identically through the spatial expansion)
-    pil = jnp.asarray(tables.PILOT_GRID[(BW.BW20, False)])
+    pil = jnp.asarray(tables.PILOT_GRID[(bw, False)])
     sum_h_pil = ltf_f[:, :, 0, :][..., pil] / safe_ref[pil]  # [G, R, nP]
-    pref = jnp.asarray(tables.PILOT_VHT[BW.BW20]
+    pref = jnp.asarray(tables.PILOT_VHT[bw]
                        * tables.PILOT_POLARITY[3])
     acc = jnp.sum(sb[..., pil] * jnp.conj(sum_h_pil * pref[None, None]),
                   axis=(1, 2))
     ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
     sb = sb / ph[:, None, None]
-    eq = demod.mrc_combine(sb[:, :, None, :], h_u)[:, 0]   # [G, 64]
-    llr = jnp.real(eq[..., jnp.asarray(tables.DATA_GRID[(BW.BW20, False)])])
+    eq = demod.mrc_combine(sb[:, :, None, :], h_u)[:, 0]   # [G, nfft]
+    llr = jnp.real(eq[..., jnp.asarray(tables.DATA_GRID[(bw, False)])])
     if n_sts_total in (4, 7, 8):
         llr = llr * float(tables.P_SIGB_NSTS478[stream_idx])
-    sigb_mod = Mod(F.VHT, 0, BW.BW20, 1)
+    sigb_mod = Mod(F.VHT, 0, bw, 1)
     llr = llr[..., jnp.asarray(ilv.rx_perm(sigb_mod))]
-    bits = coding.viterbi_decode(llr, CR.CR12, 26)
-    w = (1 << jnp.arange(26, dtype=jnp.int32))
-    return jnp.sum(bits.astype(jnp.int32) * w, axis=-1)
+    bits = coding.viterbi_decode(llr, CR.CR12, MU_SIGB_INFO[bw])
+    n_keep = MU_SIGB_LEN[bw] + 4                           # len + mcs
+    w = (1 << jnp.arange(n_keep, dtype=jnp.int32))
+    return jnp.sum(bits[:, :n_keep].astype(jnp.int32) * w, axis=-1)
 
 
 class MuStaDataDecoder:
@@ -335,53 +349,56 @@ class MuStaDataDecoder:
 
     def __init__(self, mod: Mod, n_sym: int, stream_idx: int,
                  n_sts_total: int):
-        assert mod.bw == BW.BW20 and mod.nSS == 1
+        assert mod.nSS == 1
         self.mod = mod
         self.n_sym = n_sym
         self.stream_idx = stream_idx
         self.n_sts = n_sts_total
         self.n_ltf = int(tables.N_LTF[n_sts_total])
         self.n_bits = n_sym * mod.nDBPS
+        self.q = tables.NFFT[mod.bw] // 64
 
     def data_offset(self) -> int:
-        return OFF_NLLTF + 80 * self.n_ltf + 80            # + SIG-B
+        return (OFF_NLLTF + 80 * self.n_ltf + 80) * self.q   # + SIG-B
 
     def window_capacity(self) -> int:
-        return 272 + self.data_offset() + self.n_sym * 80 + 80
+        return (272 * self.q + self.data_offset()
+                + (self.n_sym * 80 + 80) * self.q)
 
     def zlen(self) -> int:
         """Aligned-window length (see rx SisoDataDecoder.zlen)."""
-        return 32 + self.data_offset() + 80 * self.n_sym
+        return 32 * self.q + self.data_offset() + 80 * self.q * self.n_sym
 
     def _decode_z(self, z, n_valid, sigb_crc):
         """z: [B, nRx, zlen] complex, CFO-corrected, aligned at
-        ltf_start - 16; sigb_crc: [B] int32 expected CRC-8 of the SIG-B
+        ltf_start - gi; sigb_crc: [B] int32 expected CRC-8 of the SIG-B
         pre-tail bits. Returns (descrambled bits, evm, sigb_ok)."""
         mod = self.mod
-        gi, sh = 16, 4   # data-window shift 4 (see models/pipeline.py)
+        q = self.q
+        nfft, gi, sh = 64 * q, 16 * q, 4 * q   # 4q shift (models/pipeline)
         b, nrx = z.shape[0], z.shape[1]
         yf = z.reshape(b * nrx, -1)
         ltf_f = demod.fft_syms(demod.static_symbol_windows(
-            yf, gi + OFF_NLLTF, self.n_ltf)).reshape(
-                b, nrx, self.n_ltf, 64)
-        ref = jnp.asarray(demod.ltf_ref_grid(BW.BW20, False))
+            yf, gi + OFF_NLLTF * q, self.n_ltf, nfft=nfft, gi=gi,
+            shift=sh)).reshape(b, nrx, self.n_ltf, nfft)
+        ref = jnp.asarray(demod.ltf_ref_grid(mod.bw, False))
         safe_ref = jnp.where(ref == 0, 1.0, ref)
         p = tables.P_LTF_4[:max(self.n_sts, 2), :self.n_ltf]
         h_u = jnp.einsum("l,brlk->brk", jnp.asarray(p[self.stream_idx]),
-                         ltf_f) / self.n_ltf / safe_ref    # [B, R, 64]
+                         ltf_f) / self.n_ltf / safe_ref    # [B, R, nfft]
         h_u = jnp.where((ref == 0)[None, None], 1.0 + 0j, h_u)
-        pil = jnp.asarray(tables.PILOT_GRID[(BW.BW20, False)])
+        pil = jnp.asarray(tables.PILOT_GRID[(mod.bw, False)])
         sum_h_pil = ltf_f[:, :, 0, :][..., pil] / safe_ref[pil]
         gd = demod.fft_syms(demod.static_symbol_windows(
-            yf, gi + self.data_offset(), self.n_sym)).reshape(
-                b, nrx, self.n_sym, 64)
+            yf, gi + self.data_offset(), self.n_sym, nfft=nfft, gi=gi,
+            shift=sh)).reshape(b, nrx, self.n_sym, nfft)
         pref = jnp.asarray(np.asarray(demod.pilot_refs(mod, self.n_sym, 4)))
         exp = sum_h_pil[:, :, None, :] * pref[None, None]  # [B, R, S, nP]
         acc = jnp.sum(gd[..., pil] * jnp.conj(exp), axis=(1, 3))
         ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)        # [B, S]
         gd = gd / ph[:, None, :, None]
-        eq = demod.mrc_combine(gd, h_u)                    # [B, S, 64]
-        data = eq[..., jnp.asarray(tables.DATA_GRID[(BW.BW20, False)])]
+        eq = demod.mrc_combine(gd, h_u)                    # [B, S, nfft]
+        data = eq[..., jnp.asarray(tables.DATA_GRID[(mod.bw, False)])]
         sym_m = None
         if n_valid is not None:
             sym_m = (jnp.arange(self.n_sym, dtype=jnp.int32)[None, :]
@@ -390,7 +407,7 @@ class MuStaDataDecoder:
         llr = demod.demap_llr(data, mod.mod)
         # CSI weight = post-MRC noise inverse (see demod_data_mrc)
         wg = jnp.sum(jnp.abs(h_u) ** 2, axis=1)
-        w = wg[..., jnp.asarray(tables.DATA_GRID[(BW.BW20, False)])]
+        w = wg[..., jnp.asarray(tables.DATA_GRID[(mod.bw, False)])]
         w = w / jnp.maximum(jnp.mean(w, axis=-1, keepdims=True), 1e-12)
         nb = llr.shape[-1] // data.shape[-1]
         llr = llr * jnp.repeat(w, nb, axis=-1)[:, None, :]
@@ -409,7 +426,7 @@ class MuStaDataDecoder:
         from ..rx.receiver import (capture_windows, capture_windows_mimo,
                                    pack_bits_le)
         zl = self.zlen()
-        ta = t_abs + ltf_start - 16
+        ta = t_abs + ltf_start - 16 * self.q
         if cap.ndim == 3:
             x2 = capture_windows_mimo(cap, ta, zl)
         else:

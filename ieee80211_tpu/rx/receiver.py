@@ -1283,9 +1283,11 @@ class SisoReceiver:
 
     def _plan_mu_batch(self, cap_len: int, meta, n: int):
         """MU candidate windows: VHT SIG-A with gid == self.mu_gid whose
-        group layout gives this station a single stream. Returns
-        [(i, _MuCand)] for _dispatch_mu_sigb."""
-        if self.mu_gid is None or self.q != 1:
+        group layout gives this station a single stream (any capture
+        bandwidth — wideband MU is beyond the reference's 20 MHz GR-TRX
+        but inside the PY-TB golden envelope). Returns [(i, _MuCand)]
+        for _dispatch_mu_sigb."""
+        if self.mu_gid is None:
             return []
         lsig_ok = np.asarray(meta["lsig_ok"][:n]).astype(bool)
         vht_ok = np.asarray(meta["vht_ok"][:n]).astype(bool)
@@ -1302,7 +1304,7 @@ class SisoReceiver:
                            for u in range(4)], axis=1)      # [n, 4]
         n_tot = nsts_u.sum(axis=1)
         cand = (lsig_ok & vht_ok & (snr > 0.0) & (l_mcs == 0)
-                & (gid == self.mu_gid) & (v_bw == int(BW.BW20)) & ~v_sgi
+                & (gid == self.mu_gid) & (v_bw == int(self.bw)) & ~v_sgi
                 & (nsts_u[:, self.mu_pos] == 1)
                 & (n_tot >= 1) & (n_tot <= 4))
         if not np.any(cand):
@@ -1324,8 +1326,9 @@ class SisoReceiver:
             # EXACT packet end (SIG-B + data; a packet whose last sample
             # is the capture's last sample is complete — the device
             # capture is zero-padded past cap_len)
-            ext = (int(ltf_start[i]) + 448 + 80 * int(n_ltf[i]) + 80
-                   + int(n_sym[i]) * 80)
+            ext = (int(ltf_start[i])
+                   + (448 + 80 * int(n_ltf[i]) + 80
+                      + int(n_sym[i]) * 80) * self.q)
             if int(win_start[i]) + ext > cap_len:
                 continue
             out.append((i, _MuCand(int(win_start[i]), int(ltf_start[i]),
@@ -1343,7 +1346,7 @@ class SisoReceiver:
             groups.setdefault((c.stream_idx, c.n_sts_tot), []).append((i, c))
         futs = []
         for (si, nt), items in groups.items():
-            wlen = 272 + 448 + 80 * int(tables.N_LTF[nt]) + 160
+            wlen = (272 + 448 + 80 * int(tables.N_LTF[nt]) + 160) * self.q
             g = len(items)
             gp = group_pad(g)
             t_abs = np.zeros(gp, np.int32)
@@ -1360,7 +1363,8 @@ class SisoReceiver:
                 cfo[g:] = cfo[0]
             words = mu_sigb_parse_capture(
                 cap_dev, scale, jnp.asarray(t_abs), jnp.asarray(ltf),
-                jnp.asarray(cfo), wlen=wlen, stream_idx=si, n_sts_total=nt)
+                jnp.asarray(cfo), wlen=wlen, stream_idx=si, n_sts_total=nt,
+                q=self.q)
             words.copy_to_host_async()
             futs.append((items, words))
         return futs
@@ -1368,21 +1372,22 @@ class SisoReceiver:
     def _plan_mu_data(self, sigb_futs):
         """Fetch the SIG-B words, apply the (mcs, len) gates, and build
         the final MU _Plans for _dispatch_plans."""
+        from ..mu.sounding import MU_SIGB_LEN
+        n_len = MU_SIGB_LEN[self.bw]
         plans = []
         for items, words in sigb_futs:
             wd = np.asarray(words)
             for j, (i, c) in enumerate(items):
-                bits = (wd[j] >> np.arange(26)) & 1
-                mcs = int(bits[16:20] @ (1 << np.arange(4)))
+                bits = (wd[j] >> np.arange(n_len + 4)) & 1
+                mcs = int(bits[n_len:n_len + 4] @ (1 << np.arange(4)))
                 try:
-                    mod = Mod(F.VHT, mcs, BW.BW20, 1)
+                    mod = Mod(F.VHT, mcs, self.bw, 1)
                 except ValueError:
-                    continue          # invalid 20 MHz 1-SS MCS
+                    continue          # invalid 1-SS MCS at this bandwidth
                 psdu_len = (c.n_sym * mod.nDBPS - 16 - 6 * mod.nES) // 8
-                if (c.n_sym * mod.nDBPS > 33000 or psdu_len > 4095
-                        or psdu_len <= 0):
+                if (c.n_sym * mod.nDBPS > 33000 or psdu_len <= 0):
                     continue
-                crc = int(np.asarray(crc8_bits(list(bits[:20])))
+                crc = int(np.asarray(crc8_bits(list(bits[:n_len + 4])))
                           @ (1 << np.arange(8)))
                 plans.append((i, _Plan(
                     mod, c.n_sym, psdu_len, True, c.win_start, c.ltf_start,

@@ -141,3 +141,33 @@ def test_mu_four_user_stream():
         got = [r for r in res if r.mu and r.fcs_ok]
         assert len(got) == 1 and mpdus[u] in got[0].mpdus, f"user {u}"
         assert got[0].mcs == mods[u].mcs
+
+
+def test_mu_wideband_stream():
+    """Downlink MU at 40 and 80 MHz through the streaming receiver —
+    beyond the reference's 20 MHz GR-TRX envelope (its mupos path is
+    20 MHz-only) but inside the PY-TB golden envelope (genAmpduMu with
+    wideband modulations, tools/phy80211.py:183)."""
+    for bw, fs, nfft in ((BW.BW40, 40e6, 128), (BW.BW80, 80e6, 256)):
+        mpdu0 = build_udp_mpdu(b"wideband mu user zero payload!", CFG)
+        mpdu1 = build_udp_mpdu(b"wideband mu user one payload!!", CFG)
+        qi = np.tile(np.eye(2, dtype=np.complex64)[None], (nfft, 1, 1))
+        from ieee80211_tpu.tx import gen_ampdu_mu
+        tx = gen_ampdu_mu([aggregate_vht([mpdu0]), aggregate_vht([mpdu1])],
+                          [Mod(F.VHT, 4, bw, 1), Mod(F.VHT, 2, bw, 1)],
+                          bfq=qi, group_id=GID)
+        wave = finalize(tx.waveform, multiplier=0.2, cfo_hz=-20000.0,
+                        gap=False)
+        su = finalize(gen_ampdu(aggregate_vht([mpdu0]),
+                                Mod(F.VHT, 7, bw, 1)).waveform,
+                      multiplier=0.2, cfo_hz=30000.0, gap=False)[0]
+        cap = np.concatenate([np.zeros(2000, np.complex64), wave[0],
+                              np.zeros(2000, np.complex64), su,
+                              np.zeros(2000, np.complex64)])
+        rx = SisoReceiver(sample_rate_hz=fs, mu_pos=0, mu_gid=GID)
+        res = rx.decode_captures([cap])[0]
+        mu_res = [r for r in res if r.mu and r.fcs_ok]
+        su_res = [r for r in res if not r.mu and r.fcs_ok]
+        assert len(mu_res) == 1 and mpdu0 in mu_res[0].mpdus, f"{bw}"
+        assert mu_res[0].mcs == 4 and mu_res[0].sigb_ok
+        assert len(su_res) == 1 and mpdu0 in su_res[0].mpdus, f"{bw}"
