@@ -700,10 +700,11 @@ class MimoReceiver(SisoReceiver):
             nd = self._extract_ndp(capture, p)
             if nd is not None:
                 ndps.append(nd)
+        self.stats.n_ndp += len(ndps)
         futs = self._dispatch_with_mu(cap_dev, scale, npad, plans,
                                       capture.shape[1], meta, len(t0s))
         for i, r in self._finish_plans(futs):
-            self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
+            self.stats.record(r.fmt.name, r.mcs, r.fcs_ok, mu=r.mu)
             results.append(r)
         return results, ndps
 

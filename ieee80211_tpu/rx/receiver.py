@@ -910,7 +910,7 @@ class SisoReceiver:
                 return
             results = []
             for i, r in self._finish_plans(st3[k]):
-                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
+                self.stats.record(r.fmt.name, r.mcs, r.fcs_ok, mu=r.mu)
                 results.append(r)
             out[k] = results
             st3[k] = None
@@ -968,8 +968,9 @@ class SisoReceiver:
             ndps.append(self._extract_ndp(capture, p))
         futs = self._dispatch_with_mu(cap_dev, scale, npad, plans,
                                       len(capture), meta, len(t0s))
+        self.stats.n_ndp += sum(n is not None for n in ndps)
         for i, r in self._finish_plans(futs):
-            self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
+            self.stats.record(r.fmt.name, r.mcs, r.fcs_ok, mu=r.mu)
             results.append(r)
         return results, [n for n in ndps if n is not None]
 
@@ -1079,7 +1080,7 @@ class SisoReceiver:
                     continue
                 results = []
                 for i, r in asm_futs[k].result():
-                    self.stats.record(r.fmt.name, r.mcs, r.fcs_ok)
+                    self.stats.record(r.fmt.name, r.mcs, r.fcs_ok, mu=r.mu)
                     results.append(r)
                 out[k] = results
         finally:
@@ -1106,10 +1107,12 @@ class SisoReceiver:
 
     def _surface_stream_ndps(self, k: int, capture: np.ndarray, ndp_plans):
         if self._stream_ndps is None:
+            self.stats.n_ndp += len(ndp_plans)
             return
         for p in ndp_plans:
             nd = self._extract_ndp(capture, p)
             if nd is not None:
+                self.stats.n_ndp += 1
                 self._stream_ndps[k].append(nd)
 
     def _extract_ndp(self, capture: np.ndarray, p: _Plan):

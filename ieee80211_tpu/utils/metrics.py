@@ -21,16 +21,20 @@ class DecodeStats:
     n_sig_ok: int = 0
     n_decoded: int = 0
     n_fcs_ok: int = 0
+    n_mu: int = 0        # downlink MU own-stream decodes (fcs-ok)
+    n_ndp: int = 0       # NDP channel captures surfaced
     per_mcs_ok: Dict[Tuple[str, int], int] = dataclasses.field(
         default_factory=lambda: collections.defaultdict(int))
     per_mcs_fail: Dict[Tuple[str, int], int] = dataclasses.field(
         default_factory=lambda: collections.defaultdict(int))
 
-    def record(self, fmt_name: str, mcs: int, ok: bool):
+    def record(self, fmt_name: str, mcs: int, ok: bool, mu: bool = False):
         self.n_decoded += 1
         if ok:
             self.n_fcs_ok += 1
             self.per_mcs_ok[(fmt_name, mcs)] += 1
+            if mu:
+                self.n_mu += 1
         else:
             self.per_mcs_fail[(fmt_name, mcs)] += 1
 
@@ -40,6 +44,8 @@ class DecodeStats:
             "sig_ok": self.n_sig_ok,
             "decoded": self.n_decoded,
             "fcs_ok": self.n_fcs_ok,
+            "mu_ok": self.n_mu,
+            "ndp": self.n_ndp,
             "per_mcs_ok": {f"{f}{m}": v
                            for (f, m), v in sorted(self.per_mcs_ok.items())},
             "per_mcs_fail": {f"{f}{m}": v
