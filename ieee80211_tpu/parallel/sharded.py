@@ -311,11 +311,17 @@ def _auto_plan(meta: dict, q: int = 1) -> dict:
                 psdu_len=psdu_len.astype(jnp.int32), ampdu=ht_aggre)
 
 
-def _auto_plan2(meta: dict, q: int = 1) -> dict:
+def _auto_plan2(meta: dict, q: int = 1, mu_pos: int = 0,
+                mu_gid: int = None) -> dict:
     """_auto_plan extended to the DUAL-CHAIN envelope: adds nSS (1 or 2)
     and an NDP flag (VHT whose spoofed-length symbol budget is <= 0,
     lib/decode_impl.cc:100-121). HT MCS 0-15 (20/40 MHz), VHT nSTS 1-2
-    at the capture bandwidth (q = 1/2/4)."""
+    at the capture bandwidth (q = 1/2/4).
+
+    mu_gid (static): also flag downlink MU PPDUs of that group whose
+    layout gives position mu_pos a single stream — `mu` windows carry
+    mu_n_sym/mu_nsts/mu_sidx and decode through the loop's MU branches
+    (the in-graph analog of rx/receiver._plan_mu_batch)."""
     lsig_ok = meta["lsig_ok"]
     snr_ok = meta["snr"] > 0.0
     l_mcs = meta["l_mcs"].astype(jnp.int32)
@@ -375,13 +381,142 @@ def _auto_plan2(meta: dict, q: int = 1) -> dict:
                          jnp.where(ht_valid, ht_len, l_len))
     valid = (l_valid | ht_valid | vht_valid) & snr_ok
     fmt = jnp.where(valid, fmt, -1)
-    return dict(fmt=fmt.astype(jnp.int32), mcs=mcs.astype(jnp.int32),
-                nss=nss.astype(jnp.int32), n_sym=n_sym.astype(jnp.int32),
-                psdu_len=psdu_len.astype(jnp.int32), ampdu=ht_aggre,
-                ndp=ndp & snr_ok)
+    out = dict(fmt=fmt.astype(jnp.int32), mcs=mcs.astype(jnp.int32),
+               nss=nss.astype(jnp.int32), n_sym=n_sym.astype(jnp.int32),
+               psdu_len=psdu_len.astype(jnp.int32), ampdu=ht_aggre,
+               ndp=ndp & snr_ok)
+    if mu_gid is not None:
+        gid = _bits_val(vb, 4, 6)
+        nsts_u = jnp.stack([_bits_val(vb, 10 + 3 * u, 3)
+                            for u in range(4)], axis=1)      # [N, 4]
+        n_tot = jnp.sum(nsts_u, axis=1)
+        mu_nltf = jnp.asarray(np.asarray([1, 1, 2, 4, 4],
+                                         np.int32))[jnp.clip(n_tot, 0, 4)]
+        mu_n_sym = n_sym_l - 2 - 1 - mu_nltf - 1
+        mu = (lsig_ok & (l_mcs == 0) & vht_ok & snr_ok
+              & (gid == mu_gid) & (vht_bw == {1: 0, 2: 1, 4: 2}[q])
+              & ~vht_sgi & (nsts_u[:, mu_pos] == 1)
+              & (n_tot >= 1) & (n_tot <= 4) & (mu_n_sym >= 1))
+        sidx = jnp.concatenate(
+            [jnp.zeros_like(nsts_u[:, :1]),
+             jnp.cumsum(nsts_u, axis=1)[:, :-1]], axis=1)[:, mu_pos]
+        out.update(mu=mu, mu_n_sym=mu_n_sym.astype(jnp.int32),
+                   mu_nsts=n_tot.astype(jnp.int32),
+                   mu_sidx=sidx.astype(jnp.int32))
+        out["fmt"] = jnp.where(mu, -1, out["fmt"])   # MU exits the SU path
+    return out
 
 
 _FMT_CODE = {F.L: 0, F.HT: 1, F.VHT: 2}
+
+
+def _mu_ingraph(mod: Mod, n_sym: int, mu_pos: int, q: int):
+    """In-graph downlink MU own-stream decode for the mesh loop.
+
+    Unlike the host-driven streaming path (which groups windows by the
+    group's static (stream_idx, nSTS)), the one-program loop handles the
+    group layout DYNAMICALLY: 4 NL-LTF symbols are always extracted and
+    the P-row combining masks l >= nLTF, SIG-B/data offsets are
+    per-window dynamic starts. Envelope: every group member carries one
+    stream (stream index == group position), groups of 1..4 streams.
+
+    Returns sigb(yf2, ltf_start, nltf, nsts) -> (mcs [G], crc8 [G]) and
+    data(yf2, ltf_start, nltf, nsts, n_valid, crc8) ->
+    (bits [G, n_bits], sigb_ok [G]); yf2: [G, nRx, w] complex,
+    CFO-corrected."""
+    from ..mu.sounding import MU_SIGB_INFO, MU_SIGB_LEN
+    from ..rx.receiver import _crc8_matrix
+    from ..specs import BW, CR, tables as T
+    from ..specs import interleaver as ilv
+    from ..ops import coding, demod
+
+    bw = {1: BW.BW20, 2: BW.BW40, 4: BW.BW80}[q]
+    nfft, gi, sh = 64 * q, 16 * q, 4 * q
+    off_nl = 448
+    n_len = MU_SIGB_LEN[bw]
+    n_info = MU_SIGB_INFO[bw]
+
+    def chans(yf2, ltf_start, nltf, nsts):
+        g, nrx, _ = yf2.shape
+        yf = yf2.reshape(g * nrx, -1)
+        ls2 = jnp.repeat(ltf_start, nrx)
+        ltf_f = demod.fft_syms(demod.extract_symbol_windows(
+            yf, ls2 + off_nl * q, 4, nfft=nfft, gi=gi,
+            shift=sh)).reshape(g, nrx, 4, nfft)
+        ref = jnp.asarray(demod.ltf_ref_grid(bw, False))
+        safe_ref = jnp.where(ref == 0, 1.0, ref)
+        p_row = jnp.asarray(T.P_LTF_4[mu_pos])               # [4]
+        lmask = (jnp.arange(4)[None, :] < nltf[:, None])     # [G, 4]
+        h_u = jnp.einsum("gl,grlk->grk",
+                         p_row[None, :] * lmask, ltf_f) \
+            / nltf[:, None, None] / safe_ref
+        h_u = jnp.where((ref == 0)[None, None], 1.0 + 0j, h_u)
+        pil = jnp.asarray(T.PILOT_GRID[(bw, False)])
+        sum_h_pil = ltf_f[:, :, 0, :][..., pil] / safe_ref[pil]
+        return yf, ls2, h_u, sum_h_pil, pil
+
+    def sigb(yf2, ltf_start, nltf, nsts):
+        g, nrx, _ = yf2.shape
+        yf, ls2, h_u, sum_h_pil, pil = chans(yf2, ltf_start, nltf, nsts)
+        nltf2 = jnp.repeat(nltf, nrx)
+        sb = demod.fft_syms(demod.extract_symbol_windows(
+            yf, ls2 + (off_nl + 80 * nltf2) * q, 1, nfft=nfft, gi=gi,
+            shift=sh)).reshape(g, nrx, nfft)
+        pref = jnp.asarray(T.PILOT_VHT[bw] * T.PILOT_POLARITY[3])
+        acc = jnp.sum(sb[..., pil] * jnp.conj(sum_h_pil * pref[None, None]),
+                      axis=(1, 2))
+        ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
+        sb = sb / ph[:, None, None]
+        eq = demod.mrc_combine(sb[:, :, None, :], h_u)[:, 0]
+        llr = jnp.real(eq[..., jnp.asarray(T.DATA_GRID[(bw, False)])])
+        sign = jnp.where(nsts == 4,
+                         float(T.P_SIGB_NSTS478[mu_pos]), 1.0)
+        llr = llr * sign[:, None]
+        llr = llr[..., jnp.asarray(ilv.rx_perm(Mod(F.VHT, 0, bw, 1)))]
+        bits = coding.viterbi_decode(llr, CR.CR12, n_info)
+        mcs = jnp.sum(bits[:, n_len:n_len + 4].astype(jnp.int32)
+                      * (1 << jnp.arange(4, dtype=jnp.int32)), axis=1)
+        mat, const = _crc8_matrix(n_len + 4)
+        crc_bits = (bits[:, :n_len + 4].astype(jnp.int32)
+                    @ jnp.asarray(mat) + jnp.asarray(const)) % 2
+        crc = jnp.sum(crc_bits * (1 << jnp.arange(8, dtype=jnp.int32)),
+                      axis=1)
+        return mcs, crc
+
+    n_bits = n_sym * mod.nDBPS
+
+    def data(yf2, ltf_start, nltf, nsts, n_valid, crc8):
+        g, nrx, _ = yf2.shape
+        yf, ls2, h_u, sum_h_pil, pil = chans(yf2, ltf_start, nltf, nsts)
+        nltf2 = jnp.repeat(nltf, nrx)
+        gd = demod.fft_syms(demod.extract_symbol_windows(
+            yf, ls2 + (off_nl + 80 * nltf2 + 80) * q, n_sym, nfft=nfft,
+            gi=gi, shift=sh)).reshape(g, nrx, n_sym, nfft)
+        pref = jnp.asarray(np.asarray(demod.pilot_refs(mod, n_sym, 4)))
+        exp = sum_h_pil[:, :, None, :] * pref[None, None]
+        acc = jnp.sum(gd[..., pil] * jnp.conj(exp), axis=(1, 3))
+        ph = acc / jnp.maximum(jnp.abs(acc), 1e-12)
+        gd = gd / ph[:, None, :, None]
+        eq = demod.mrc_combine(gd, h_u)
+        dg = jnp.asarray(T.DATA_GRID[(bw, False)])
+        data_t = eq[..., dg]
+        llr = demod.demap_llr(data_t, mod.mod)
+        wg = jnp.sum(jnp.abs(h_u) ** 2, axis=1)[..., dg]
+        wg = wg / jnp.maximum(jnp.mean(wg, axis=-1, keepdims=True), 1e-12)
+        nb = llr.shape[-1] // data_t.shape[-1]
+        llr = llr * jnp.repeat(wg, nb, axis=-1)[:, None, :]
+        llr = llr[..., jnp.asarray(ilv.rx_perm(mod, 0))].reshape(g, -1)
+        sym_m = (jnp.arange(n_sym, dtype=jnp.int32)[None, :]
+                 < n_valid[:, None])
+        ncbpss = llr.shape[1] // n_sym
+        llr = jnp.where(jnp.repeat(sym_m, ncbpss, axis=1), llr, 0.0)
+        bits = coding.viterbi_decode(llr, mod.cr, n_bits)
+        scr = coding.descramble(bits)
+        svc = jnp.sum(scr[:, 8:16].astype(jnp.int32)
+                      * (1 << jnp.arange(8, dtype=jnp.int32)), axis=1)
+        return scr, svc == crc8
+
+    return sigb, data
 
 
 def branch_window_len(mod: Mod, n_sym_cap: int) -> int:
@@ -477,7 +612,7 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
         tail = (jnp.arange(ac.shape[1]) >= tl) & (idx == n_sp - 1)
         ac = jnp.where(tail[None, :], 0.0, ac)
         t_ext = _local_triggers(ac[:, :tl], k_per_shard + 1,
-                                plateau=20 * q, min_gap=400 * q)
+                                plateau=20 * q, min_gap=600 * q)
         t_loc = t_ext[:, :k_per_shard]
         overflow = t_ext[:, k_per_shard] < tl          # [B] capacity hit
         valid = t_loc < tl
@@ -505,7 +640,7 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
         prev_t = jnp.concatenate(
             [jnp.full_like(tg_all[:, :1], -(1 << 30)), tg_all[:, :-1]],
             axis=1)
-        val_all = val_all & (tg_all - prev_t >= 400 * q)
+        val_all = val_all & (tg_all - prev_t >= 600 * q)
 
         mine = jnp.take(wins_all.reshape(b, k_per_shard, n_sp, w, 2),
                         idx, axis=2)
@@ -575,7 +710,9 @@ def sharded_capture_decode_auto(mesh, branches, window_len: int,
 
 def sharded_capture_decode_auto2(mesh, branches, window_len: int,
                                  k_per_shard: int = 4,
-                                 branch_cap: int = None, q: int = 1):
+                                 branch_cap: int = None, q: int = 1,
+                                 mu_branches=(), mu_pos: int = 0,
+                                 mu_gid: int = None):
     """DUAL-CHAIN mixed-format sharded capture decode with in-graph
     auto-detection — the one-program mesh analog of the reference's rx2
     flowgraph (examples/rx2.grc): SISO packets decode with MRC combining
@@ -593,11 +730,20 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
     n_win x sum_j cost_j; `branch_overflow[j]` flags truncation (the
     same fixed-capacity contract as the trigger itself).
 
+    mu_branches/mu_pos/mu_gid: optional downlink-MU decode branches for
+    a station at group position mu_pos in group mu_gid — each a
+    (Mod(F.VHT, mcs, bw, 1), n_sym_cap). MU windows are detected
+    in-graph from SIG-A (single-stream-per-user groups of 1..4 streams,
+    dynamic layout via masked P-row combining), their (mcs, len) decoded
+    from an in-graph MU SIG-B pass, and routed like every other branch;
+    `mu[b, j]` flags them and `ok` additionally requires the SIG-B
+    CRC-8 vs SERVICE check.
+
     Returns run(capture[B, nRx, T, 2]; B over dp, T over sp) -> dict:
       bits [B, n_win, max_bits], trig_t, ok, fmt, mcs, nss, n_sym,
-      psdu_len, ampdu [B, n_win]; ndp [B, n_win] flag + ndp_ltf
-      [B, n_win, nRx, 160, 2] CFO-corrected VHT-LTF windows;
-      overflow [B]; branch_overflow [B, n_branches].
+      psdu_len, ampdu, mu [B, n_win]; ndp [B, n_win] flag + ndp_ltf
+      [B, n_win, nRx, 160q, 2] CFO-corrected VHT-LTF windows;
+      overflow [B]; branch_overflow [B, n_branches (+ mu branches)].
     """
     from ..rx.mimo import MimoDataDecoder, MrcDataDecoder
     from ..rx.receiver import OFF_NLLTF, sig_parse_mimo
@@ -613,14 +759,24 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
         assert window_len >= need, (
             f"window_len {window_len} < {need} required by branch "
             f"({m.fmt.name} mcs{m.mcs} nSS{m.nSS}, {cap} sym)")
-    n_bits_max = max(cap * m.nDBPS for m, cap in branches)
+    mu_branches = tuple(mu_branches)
+    assert not mu_branches or mu_gid is not None
+    for m, cap in mu_branches:
+        assert m.fmt == F.VHT and m.nSS == 1 and m.bw == bw_q
+        need = (272 + 448 + 4 * 80 + 160 + cap * 80 + 80) * q
+        assert window_len >= need, (
+            f"window_len {window_len} < {need} required by MU branch "
+            f"(VHT mcs{m.mcs}, {cap} sym)")
+    mu_fns = [_mu_ingraph(m, cap, mu_pos, q) for m, cap in mu_branches]
+    n_bits_max = max([cap * m.nDBPS for m, cap in branches]
+                    + [cap * m.nDBPS for m, cap in mu_branches])
     n_sp = mesh.shape["sp"]
     w = window_len
     n_br = len(branches)
     cap_shard = NamedSharding(mesh, P("dp", None, "sp", None))
 
     @partial(jax.shard_map, mesh=mesh, in_specs=P("dp", None, "sp", None),
-             out_specs=(P("dp", None, None),) + (P("dp", None),) * 9
+             out_specs=(P("dp", None, None),) + (P("dp", None),) * 10
              + (P("dp", None, None, None, None), P("dp"), P("dp", None)),
              check_vma=False)
     def local(xb2):
@@ -638,7 +794,7 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
         tail = (jnp.arange(ac.shape[1]) >= tl) & (idx == n_sp - 1)
         ac = jnp.where(tail[None, :], 0.0, ac)
         t_ext = _local_triggers(ac[:, :tl], k_per_shard + 1,
-                                plateau=20 * q, min_gap=400 * q)
+                                plateau=20 * q, min_gap=600 * q)
         t_loc = t_ext[:, :k_per_shard]
         overflow = t_ext[:, k_per_shard] < tl
         valid = t_loc < tl
@@ -669,7 +825,7 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
         prev_t = jnp.concatenate(
             [jnp.full_like(tg_all[:, :1], -(1 << 30)), tg_all[:, :-1]],
             axis=1)
-        val_all = val_all & (tg_all - prev_t >= 400 * q)
+        val_all = val_all & (tg_all - prev_t >= 600 * q)
 
         mine = jnp.take(wins_all.reshape(b, k_per_shard, n_sp, nrx, w, 2),
                         idx, axis=2)
@@ -678,9 +834,13 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
         t0 = jnp.zeros(n_loc, jnp.int32)
 
         meta = sig_parse_mimo(xw, t0, q=q)
-        plan = _auto_plan2(meta, q)
+        plan = _auto_plan2(meta, q, mu_pos, mu_gid)
         ltf_start = meta["ltf_start"].astype(jnp.int32)
         cfo = meta["cfo"]
+
+        # CFO-corrected complex windows (shared by the MU pass + NDP slice)
+        xs = r2c(xw)                             # [n_loc, nRx, w]
+        ys = xs * sync.cfo_ramp(cfo, w)[:, None, :]
 
         bid = jnp.full(n_loc, -1, jnp.int32)
         for j, (m, capj) in enumerate(branches):
@@ -688,6 +848,15 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
                 & (plan["mcs"] == m.mcs) & (plan["nss"] == m.nSS) \
                 & (plan["n_sym"] <= capj) & ~plan["ndp"]
             bid = jnp.where((bid < 0) & match, j, bid)
+        if mu_branches:
+            mu_nltf = jnp.asarray(np.asarray([1, 1, 2, 4, 4], np.int32))[
+                jnp.clip(plan["mu_nsts"], 0, 4)]
+            mu_mcs, mu_crc = mu_fns[0][0](ys, ltf_start, mu_nltf,
+                                          plan["mu_nsts"])
+            for j, (m, capj) in enumerate(mu_branches):
+                match = plan["mu"] & (mu_mcs == m.mcs) \
+                    & (plan["mu_n_sym"] <= capj)
+                bid = jnp.where((bid < 0) & match, n_br + j, bid)
 
         nv_all = jnp.clip(plan["n_sym"], 1, None)
         bits = jnp.zeros((n_loc, n_bits_max), jnp.int32)
@@ -720,13 +889,44 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
                 # rows belong to <= 1 branch and start at zero -> add
                 bits = bits.at[sel].add(jnp.where(mask, bj, 0))
                 br_ov.append(jnp.sum(bid == j) > kj)
+        sigb_ok_all = jnp.ones(n_loc, dtype=bool)
+        for j, (_, data_fn) in enumerate(mu_fns):
+            bj_id = n_br + j
+            capj = mu_branches[j][1]
+            nvm = jnp.clip(plan["mu_n_sym"], 1, capj)
+            if branch_cap is None:
+                oj, sb_ok = data_fn(ys, ltf_start, mu_nltf,
+                                    plan["mu_nsts"], nvm, mu_crc)
+                bj = oj.astype(jnp.int32)
+                if bj.shape[1] < n_bits_max:
+                    bj = jnp.pad(bj,
+                                 ((0, 0), (0, n_bits_max - bj.shape[1])))
+                sel_m = (bid == bj_id)
+                bits = jnp.where(sel_m[:, None], bj, bits)
+                sigb_ok_all = jnp.where(sel_m, sb_ok, sigb_ok_all)
+                br_ov.append(jnp.zeros((), bool))
+            else:
+                kj = min(branch_cap, n_loc)
+                key = jnp.where(bid == bj_id, widx, n_loc + widx)
+                sel = jnp.argsort(key)[:kj]
+                oj, sb_ok = data_fn(ys[sel], ltf_start[sel], mu_nltf[sel],
+                                    plan["mu_nsts"][sel], nvm[sel],
+                                    mu_crc[sel])
+                bj = oj.astype(jnp.int32)
+                if bj.shape[1] < n_bits_max:
+                    bj = jnp.pad(bj,
+                                 ((0, 0), (0, n_bits_max - bj.shape[1])))
+                mask = (bid[sel] == bj_id)[:, None]
+                bits = bits.at[sel].add(jnp.where(mask, bj, 0))
+                sigb_ok_all = sigb_ok_all.at[sel].set(
+                    jnp.where(bid[sel] == bj_id, sb_ok, sigb_ok_all[sel]))
+                br_ov.append(jnp.sum(bid == bj_id) > kj)
         branch_overflow = jnp.stack(br_ov)[None, :].repeat(b, 0)
-        ok = bid >= 0
+        mu_win = bid >= n_br
+        ok = (bid >= 0) & sigb_ok_all
 
         # NDP LTF windows (cheap static-size slice, masked by the flag):
         # 2 VHT-LTF symbols per chain, CFO-corrected (decode_impl type-20)
-        xs = r2c(xw)                             # [n_loc, nRx, w]
-        ys = xs * sync.cfo_ramp(cfo, w)[:, None, :]
         ndp_win = jax.vmap(lambda row, s: jax.lax.dynamic_slice(
             row, (0, s), (nrx, 160 * q)))(ys, ltf_start + OFF_NLLTF * q)
         ndp_ltf = jnp.stack([jnp.real(ndp_win), jnp.imag(ndp_win)],
@@ -738,21 +938,32 @@ def sharded_capture_decode_auto2(mesh, branches, window_len: int,
             return jnp.moveaxis(g, 0, 2).reshape(
                 (b, n_sp * k_per_shard) + dims)
 
+        # MU windows surface their own symbol count / data capacity
+        n_sym_out = plan["n_sym"]
+        psdu_out = plan["psdu_len"]
+        if mu_branches:
+            mu_ndbps = jnp.zeros(n_loc, jnp.int32)
+            for j, (m, capj) in enumerate(mu_branches):
+                mu_ndbps = jnp.where(bid == n_br + j, m.nDBPS, mu_ndbps)
+            mu_psdu = (plan["mu_n_sym"] * mu_ndbps - 16 - 6) // 8
+            n_sym_out = jnp.where(mu_win, plan["mu_n_sym"], n_sym_out)
+            psdu_out = jnp.where(mu_win, jnp.maximum(mu_psdu, 0), psdu_out)
+
         return (regroup(bits, (n_bits_max,)), tg_all,
                 regroup(ok, ()) & val_all, regroup(plan["fmt"], ()),
                 regroup(plan["mcs"], ()), regroup(plan["nss"], ()),
-                regroup(plan["n_sym"], ()), regroup(plan["psdu_len"], ()),
-                regroup(plan["ampdu"], ()),
+                regroup(n_sym_out, ()), regroup(psdu_out, ()),
+                regroup(plan["ampdu"], ()), regroup(mu_win, ()),
                 regroup(plan["ndp"], ()) & val_all,
                 regroup(ndp_ltf, (nrx, 160 * q, 2)), ov_all, branch_overflow)
 
     @partial(jax.jit, in_shardings=(cap_shard,))
     def run(capture):
-        (bits, trig_t, ok, fmt, mcs, nss, n_sym, psdu_len, ampdu, ndp,
-         ndp_ltf, overflow, br_ov) = local(capture)
+        (bits, trig_t, ok, fmt, mcs, nss, n_sym, psdu_len, ampdu, mu,
+         ndp, ndp_ltf, overflow, br_ov) = local(capture)
         return dict(bits=bits, trig_t=trig_t, ok=ok, fmt=fmt, mcs=mcs,
                     nss=nss, n_sym=n_sym, psdu_len=psdu_len, ampdu=ampdu,
-                    ndp=ndp, ndp_ltf=ndp_ltf, overflow=overflow,
+                    mu=mu, ndp=ndp, ndp_ltf=ndp_ltf, overflow=overflow,
                     branch_overflow=br_ov)
 
     return run

@@ -123,3 +123,82 @@ def test_dual_chain_branch_overflow_flags():
                                        branch_cap=1)
     out = run(c2r(cap))
     assert np.any(np.asarray(out["branch_overflow"]))
+
+
+def test_sharded_auto2_mu_branch():
+    """Downlink MU decode INSIDE the one-program mesh loop: a mixed
+    SU(MRC)+MU capture on 2 RX chains; the MU window's (mcs, len) resolve
+    from the in-graph SIG-B pass and the own-stream decode (masked P-row
+    combining over a dynamic group layout) recovers the exact MPDU with
+    the SIG-B CRC verified in-graph."""
+    from ieee80211_tpu.mac import aggregate_vht, deaggregate_vht
+    from ieee80211_tpu.parallel.sharded import sharded_capture_decode_auto2
+    from ieee80211_tpu.rx.mimo import MrcDataDecoder
+    from ieee80211_tpu.specs.modulation import ppdu_params_aggregate
+    from ieee80211_tpu.tx import gen_ampdu_mu
+
+    sp, dp = 2, 2
+    mesh = make_phy_mesh(4, sp=sp)
+    mpdu0 = build_udp_mpdu(b"sharded mu user zero exact pay", CFG)
+    mpdu1 = build_udp_mpdu(b"sharded mu user one exact payl", CFG)
+    mpdu_su = build_udp_mpdu(b"sharded su packet exact paylo", CFG)
+    qi = np.tile(np.eye(2, dtype=np.complex64)[None], (64, 1, 1))
+    mu_tx = gen_ampdu_mu([aggregate_vht([mpdu0]), aggregate_vht([mpdu1])],
+                         [Mod(F.VHT, 4, BW.BW20, 1),
+                          Mod(F.VHT, 2, BW.BW20, 1)],
+                         bfq=qi, group_id=2)
+    mu_wave = finalize(mu_tx.waveform, 0.2, -6000.0, gap=False)
+    # STA antennas hear only stream 0 (identity Q + nulled interferer,
+    # as the AP's ZF precoding arranges); two gains = MRC diversity
+    g = np.array([0.9 - 0.2j, 0.55 + 0.7j])
+    rx_mu = np.stack([g[0] * mu_wave[0], g[1] * mu_wave[0]])
+    mod_su = Mod(F.VHT, 7)
+    pp_su = ppdu_params_aggregate(mod_su, len(aggregate_vht([mpdu_su])))
+    from ieee80211_tpu.tx import gen_ampdu
+    su_wave = finalize(gen_ampdu(aggregate_vht([mpdu_su]),
+                                 mod_su).waveform, 0.2, 9000.0,
+                      gap=False)[0]
+    rx_su = np.stack([0.8 * su_wave, (0.3 + 0.6j) * su_wave])
+
+    mod_mu0 = Mod(F.VHT, 4, BW.BW20, 1)
+    # the MU PPDU's symbol count is the GROUP max (the slower user's)
+    n_sym_mu = max(
+        ppdu_params_aggregate(Mod(F.VHT, 4, BW.BW20, 1),
+                              len(aggregate_vht([mpdu0]))).n_sym,
+        ppdu_params_aggregate(Mod(F.VHT, 2, BW.BW20, 1),
+                              len(aggregate_vht([mpdu1]))).n_sym)
+    branches = ((mod_su, pp_su.n_sym),)
+    mu_branches = ((mod_mu0, n_sym_mu + 2),)
+    w = max(MrcDataDecoder(mod_su, pp_su.n_sym).window_capacity(),
+            272 + 448 + 4 * 80 + 160 + (n_sym_mu + 2) * 80 + 80)
+    seg = np.concatenate([np.zeros((2, 700), np.complex64), rx_mu,
+                          np.zeros((2, 700), np.complex64), rx_su],
+                         axis=1).astype(np.complex64)
+    t_len = -(-(seg.shape[1] + 2 * w) // (512 * sp)) * (512 * sp)
+    cap = np.zeros((dp, 2, t_len), np.complex64)
+    for r in range(dp):
+        cap[r, :, 64 + 32 * r:64 + 32 * r + seg.shape[1]] += seg
+
+    run = sharded_capture_decode_auto2(
+        mesh, branches, w, k_per_shard=4, mu_branches=mu_branches,
+        mu_pos=0, mu_gid=2)
+    out = run(c2r(cap))
+    ok = np.asarray(out["ok"])
+    mu = np.asarray(out["mu"])
+    bits = np.asarray(out["bits"])
+    pl = np.asarray(out["psdu_len"])
+    for r in range(dp):
+        got_mu = got_su = 0
+        for j in range(ok.shape[1]):
+            if not ok[r, j]:
+                continue
+            psdu = np.packbits(bits[r, j, 16:16 + int(pl[r, j]) * 8]
+                               .astype(np.uint8),
+                               bitorder="little").tobytes()
+            subs = deaggregate_vht(psdu)
+            if mu[r, j]:
+                assert any(s.fcs_ok and s.mpdu == mpdu0 for s in subs), r
+                got_mu += 1
+            elif any(s.fcs_ok and s.mpdu == mpdu_su for s in subs):
+                got_su += 1
+        assert got_mu == 1 and got_su == 1, f"row {r}: {got_mu}/{got_su}"
