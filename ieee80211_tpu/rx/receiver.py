@@ -104,7 +104,12 @@ def sigb_service_crc_ok(sigb_bits: jnp.ndarray, scr_bits: jnp.ndarray,
 # SIG parsing (config-independent jit program)
 # ---------------------------------------------------------------------------
 
-SIGPARSE_WIN = 1040  # samples consumed from t0 (x q): preamble+SIGs+slack
+SIGPARSE_WIN = 752   # samples consumed from t0 (x q): sync needs 448
+# (80 + n_lag 176 + 192), the SIG region ends at ltf_start(<=270) +
+# OFF_NLSIG(208) + 2 symbols(160) + window slack(~76) ~= 714; 752 adds
+# margin. Every extra sample is gathered per window per chain — the SIG
+# window gather is ~half the dual-chain SIG-parse cost (r5 measurement),
+# so the old 1040 over-gathered ~30%.
 
 MIN_TRIGGER_GAP = 600  # trigger dedup distance (20 MHz units). The
 # non-legacy STF ~560 samples into every HT/VHT packet re-fires the STF
