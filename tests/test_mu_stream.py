@@ -171,3 +171,26 @@ def test_mu_wideband_stream():
         assert len(mu_res) == 1 and mpdu0 in mu_res[0].mpdus, f"{bw}"
         assert mu_res[0].mcs == 4 and mu_res[0].sigb_ok
         assert len(su_res) == 1 and mpdu0 in su_res[0].mpdus, f"{bw}"
+
+
+def test_mu_wideband_dual_chain():
+    """40 MHz downlink MU on the dual-chain receiver: own-stream MRC
+    across both RX antennas at wideband."""
+    mpdu0 = build_udp_mpdu(b"wideband dual mu user0 payload", CFG)
+    mpdu1 = build_udp_mpdu(b"wideband dual mu user1 payload", CFG)
+    qi = np.tile(np.eye(2, dtype=np.complex64)[None], (128, 1, 1))
+    from ieee80211_tpu.tx import gen_ampdu_mu
+    tx = gen_ampdu_mu([aggregate_vht([mpdu0]), aggregate_vht([mpdu1])],
+                      [Mod(F.VHT, 5, BW.BW40, 1), Mod(F.VHT, 2, BW.BW40, 1)],
+                      bfq=qi, group_id=GID)
+    wave = finalize(tx.waveform, multiplier=0.2, cfo_hz=15000.0, gap=False)
+    g = np.array([0.85 - 0.25j, 0.5 + 0.7j])
+    rx_mu = np.stack([g[0] * wave[0], g[1] * wave[0]])
+    cap = np.concatenate([np.zeros((2, 2000), np.complex64), rx_mu,
+                          np.zeros((2, 2000), np.complex64)],
+                         axis=1).astype(np.complex64)
+    rx = MimoReceiver(sample_rate_hz=40e6, mu_pos=0, mu_gid=GID)
+    pkts, _ = rx.decode_capture_full(cap)
+    got = [r for r in pkts if r.mu and r.fcs_ok]
+    assert len(got) == 1 and mpdu0 in got[0].mpdus
+    assert got[0].mcs == 5 and got[0].sigb_ok
