@@ -1219,6 +1219,15 @@ class SisoReceiver:
                     jnp.asarray(cfo), jnp.asarray(nv))
             out = (dec.decode_from_capture(*args, jnp.asarray(crc))
                    if mu else dec.decode_from_capture(*args))
+            # fetch only the bytes any packet in the group can use: the
+            # packed rows are bucket-capacity sized, but the device->host
+            # link runs ~25-35 MB/s, so a group of short packets in a big
+            # bucket pays real milliseconds for padding bytes. 256-byte
+            # shape buckets keep the slice-program count bounded.
+            nb_need = 2 + max(p.psdu_len for _, p in items)
+            nb_pad = min(-(-nb_need // 256) * 256, int(out[0].shape[1]))
+            if nb_pad < out[0].shape[1]:
+                out = (out[0][:, :nb_pad],) + tuple(out[1:])
             futs.append((items, out))
         # start ALL device->host copies before blocking on any: the relay
         # round-trip (~30 ms) is paid once for the whole capture instead of
