@@ -38,6 +38,20 @@ NEG = -1e30
 
 
 @lru_cache(maxsize=None)
+def _w_cat_pmaj(k: int) -> np.ndarray:
+    """Path-major branch-metric matrix [2^k * 64, 2k]: row (p * 64 + s).
+    With the path axis MAJOR, the ACS max/argmax over paths becomes a
+    tree of elementwise vreg ops instead of a cross-sublane reduce."""
+    w = _w_cat(k)
+    npaths = 1 << k
+    out = np.zeros_like(w)
+    for s in range(64):
+        for p in range(npaths):
+            out[p * 64 + s] = w[s * npaths + p]
+    return out
+
+
+@lru_cache(maxsize=None)
 def _w_cat(k: int) -> np.ndarray:
     """Branch-metric matrix [64 * 2^k, 2 * k]: row (s * 2^k + p), column
     (j * 2 + c) holds output bit c of step j on path p into state s."""
@@ -55,7 +69,7 @@ def _w_cat(k: int) -> np.ndarray:
 
 def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
             pack: int = 1, renorm: int = 1, dt=jnp.float32,
-            llr_dt=None):
+            llr_dt=None, pmajor: bool = True):
     """pack = trellis blocks per survivor byte (k*pack <= 8): decisions are
     shift-packed into one int8 plane every `pack` steps, cutting survivor
     VMEM by pack x (what allows whole-batch tiles). renorm = metric renorm
@@ -67,7 +81,14 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
     per-step COMPUTE (branch metrics, add, compare, select, renorm) runs
     in float32 regardless — Mosaic on this target rejects bf16
     arith.cmpf, and f32 compute avoids every such hazard while keeping
-    the memory savings."""
+    the memory savings.
+
+    pmajor (default): path-major ACS layout — wmat rows are ordered
+    (p * 64 + s) so the 2^k-way max/argmax over paths runs as an
+    elementwise compare-select tournament across separate vregs instead
+    of a cross-sublane reduce (jnp.max/argmax over a sublane axis lowers
+    to rotate chains). Measured 24-27% faster end to end at the bench
+    shapes; the state-major path is kept selectable for A/Bs."""
     if llr_dt is None:
         llr_dt = dt
     npaths = 1 << k
@@ -116,21 +137,50 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
                 bm = jnp.dot(wmat.astype(jnp.float32), llr2,
                              preferred_element_type=jnp.float32)
                 m = m_ref[:].astype(jnp.float32)
-                # state s = hi * n_low + lo; predecessor of (s, path) is
-                # lo * npaths + path, so bm rows (s*npaths+p) reshape to
-                # [hi, lo, p] and the metric m reshapes to [lo, p],
-                # broadcast over hi.
-                cand = (bm.reshape(npaths, n_low, npaths, TB)
-                        + m.reshape(n_low, npaths, TB)[None, :, :, :])
-                if npaths == 2:
-                    c0 = cand[:, :, 0]
-                    c1 = cand[:, :, 1]
-                    dec = (c1 > c0).astype(jnp.int32).reshape(64, TB)
-                    new_m = jnp.maximum(c0, c1).reshape(64, TB)
+                if pmajor:
+                    # p-major ACS: bm rows are (p*64+s); predecessor
+                    # metrics arrive via a static 64-row permutation; the
+                    # 2^k-way max+argmax runs as an elementwise tournament
+                    # over the MAJOR path axis (no cross-sublane reduce).
+                    # perm row (p*n_low+lo) = m[lo*npaths+p]: a
+                    # (n_low, npaths) sublane transpose
+                    pm = jnp.swapaxes(m.reshape(n_low, npaths, TB),
+                                      0, 1).reshape(64, TB)
+                    cand = (bm.reshape(npaths, npaths, n_low, TB)
+                            + pm.reshape(npaths, 1, n_low, TB))
+                    vs = [cand[p] for p in range(npaths)]
+                    is_ = [None] * npaths
+                    width = npaths
+                    while width > 1:
+                        for j in range(width // 2):
+                            a, b2 = 2 * j, 2 * j + 1
+                            upd = vs[b2] > vs[a]      # ties keep the
+                            va = jnp.where(upd, vs[b2], vs[a])  # lower p
+                            if is_[a] is None:
+                                ib = jnp.where(upd, jnp.int32(b2),
+                                               jnp.int32(a))
+                            else:
+                                ib = jnp.where(upd, is_[b2], is_[a])
+                            vs[j], is_[j] = va, ib
+                        width //= 2
+                    new_m = vs[0].reshape(64, TB)
+                    dec = is_[0].reshape(64, TB)
                 else:
-                    dec = jnp.argmax(cand, axis=2).astype(
-                        jnp.int32).reshape(64, TB)
-                    new_m = jnp.max(cand, axis=2).reshape(64, TB)
+                    # state s = hi * n_low + lo; predecessor of (s, path)
+                    # is lo * npaths + path, so bm rows (s*npaths+p)
+                    # reshape to [hi, lo, p] and the metric m reshapes to
+                    # [lo, p], broadcast over hi.
+                    cand = (bm.reshape(npaths, n_low, npaths, TB)
+                            + m.reshape(n_low, npaths, TB)[None, :, :, :])
+                    if npaths == 2:
+                        c0 = cand[:, :, 0]
+                        c1 = cand[:, :, 1]
+                        dec = (c1 > c0).astype(jnp.int32).reshape(64, TB)
+                        new_m = jnp.maximum(c0, c1).reshape(64, TB)
+                    else:
+                        dec = jnp.argmax(cand, axis=2).astype(
+                            jnp.int32).reshape(64, TB)
+                        new_m = jnp.max(cand, axis=2).reshape(64, TB)
 
                 @pl.when(t % renorm == renorm - 1)
                 def _():
@@ -195,12 +245,13 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
 @lru_cache(maxsize=None)
 def _build_call(n_blk: int, chunk: int, k: int, n_tiles: int, TB: int = 128,
                 pack: int = 1, renorm: int = 1, dt=jnp.float32,
-                interpret: bool = False, llr_dt=None):
+                interpret: bool = False, llr_dt=None, pmajor: bool = True):
     if llr_dt is None:
         llr_dt = dt
     npaths = 1 << k
     p2k = -(-2 * k // 8) * 8
-    kern = _kernel(n_blk, chunk, k, TB, pack, renorm, dt, llr_dt)
+    kern = _kernel(n_blk, chunk, k, TB, pack, renorm, dt, llr_dt,
+                   pmajor=pmajor)
     return pl.pallas_call(
         kern,
         interpret=interpret,
@@ -235,6 +286,9 @@ RENORM = 64      # metric renorm period in radix blocks (r3 sweep)
 DTYPE = jnp.float32   # storage dtype for LLR DMA + metric plane (bf16
                       # halves the DMA traffic; compute stays f32). Module
                       # level so an end-to-end A/B can retune like RADIX/TB.
+PMAJOR = True    # path-major ACS layout (elementwise tournament over the
+                 # major path axis; +24-27% vs the state-major sublane
+                 # reduce — r5 A/B, PERF_NOTES). Module-level for A/Bs.
 
 
 def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
@@ -242,6 +296,7 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
                           pack: int = None,
                           renorm: int = None,
                           dtype=None,
+                          pmajor: bool = None,
                           interpret: bool = False) -> jnp.ndarray:
     """Drop-in for coding.viterbi_decode on TPU. llrs: [B, n_coded] f32
     punctured soft bits — or, with cr=None, PRE-DEPUNCTURED [B, n_bits, 2]
@@ -258,6 +313,8 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
     dt = dtype if dtype is not None else DTYPE
     if radix is None:
         radix = RADIX
+    if pmajor is None:
+        pmajor = PMAJOR
     # int8 LLR DMA; metrics/compute stay f32. Mosaic int8 VMEM slices need
     # the sublane (2k) dim 4-aligned -> even radix only (radix 3 falls
     # back to f32 storage on hardware; the interpreter accepts either).
@@ -305,8 +362,9 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
     chunk = _pick_chunk(n_blk, pack)
     call = _build_call(n_blk, chunk, k, b_pad // tb, tb, pack, renorm,
                        met_dt, interpret,
-                       llr_dt=jnp.int8 if int8_llr else None)
-    wmat_np = _w_cat(k)
+                       llr_dt=jnp.int8 if int8_llr else None,
+                       pmajor=pmajor)
+    wmat_np = _w_cat_pmaj(k) if pmajor else _w_cat(k)
     if p2k != 2 * k:
         wmat_np = np.pad(wmat_np, ((0, 0), (0, p2k - 2 * k)))
     wmat = jnp.asarray(wmat_np).astype(met_dt)
