@@ -80,15 +80,26 @@ def _batch_slice(x: jnp.ndarray, start: jnp.ndarray, length: int
         lambda xb, s: jax.lax.dynamic_slice(xb, (s,), (length,)))(x, start)
 
 
+DMA_SLICE = True   # route TPU window slices through the Pallas DMA+roll
+                   # kernel (ops/pallas/gather.py): the XLA gather costs
+                   # ~4.6 ms at the bench shape, the kernel ~0.3 ms.
+                   # Module-level for A/Bs.
+
+
 def batch_slice_iq(x2: jnp.ndarray, start: jnp.ndarray, length: int
                    ) -> jnp.ndarray:
     """Per-row window slice on float32 I/Q: [B, N, 2] -> [B, length, 2].
 
-    Slices the FLAT [B, 2N] view (start doubled): XLA lowers a flat
-    per-row dynamic_slice >10x faster than one with a trailing pair axis
-    or a complex64 row (measured on v5e), so complexify AFTER slicing.
+    On TPU this runs as a Pallas kernel (whole-row DMA + in-register
+    dynamic rotate — ops/pallas/gather.py). Elsewhere it slices the
+    FLAT [B, 2N] view (start doubled): XLA lowers a flat per-row
+    dynamic_slice >10x faster than one with a trailing pair axis or a
+    complex64 row (measured on v5e), so complexify AFTER slicing.
     """
     b, n, _ = x2.shape
+    if DMA_SLICE and jax.default_backend() == "tpu":
+        from .pallas.gather import batch_slice_iq_pallas
+        return batch_slice_iq_pallas(x2, start, length)
     xf = x2.reshape(b, 2 * n)
     seg = jax.vmap(lambda xb, s: jax.lax.dynamic_slice(
         xb, (2 * s,), (2 * length,)))(xf, start.astype(jnp.int32))

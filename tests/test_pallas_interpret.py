@@ -48,6 +48,20 @@ CASES = [
 
 
 @pytest.mark.parametrize("cr", [CR.CR12, CR.CR23, CR.CR34, CR.CR56])
+@pytest.mark.parametrize("pmajor", [True, False])
+def test_interpret_acs_layouts(cr, pmajor):
+    """Path-major (default since r5: elementwise tournament, +24-27%) and
+    state-major ACS layouts decode identically."""
+    rng = np.random.default_rng(hash((cr, pmajor)) % 2**31)
+    n_bits = 360
+    bits, llr = _encode_batch(rng, 4, n_bits, cr)
+    got = np.asarray(viterbi_decode_pallas(
+        jnp.asarray(llr), cr, n_bits, tb=128, pmajor=pmajor,
+        interpret=True))
+    np.testing.assert_array_equal(got, bits)
+
+
+@pytest.mark.parametrize("cr", [CR.CR12, CR.CR23, CR.CR34, CR.CR56])
 @pytest.mark.parametrize("radix,pack,renorm,dtype", CASES)
 def test_interpret_matches_reference(cr, radix, pack, renorm, dtype):
     rng = np.random.default_rng(hash((cr, radix, pack or 0, renorm)) % 2**31)
