@@ -56,7 +56,10 @@ def main():
         print(f"[bench +{time.perf_counter() - T0:.0f}s] {tag}",
               file=sys.stderr, flush=True)
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    # batch 1024 ≥ 2048 in the r5 post-DMA-slice sweep (739/702 vs
+    # 664/675 Msps, two in-process sweeps; 768-1024 is the flat peak —
+    # the old 2048 sweet spot was a gather-dominated-regime result)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     mark("headline rx")
@@ -239,12 +242,15 @@ def main():
         mu = MuTxPipeline(mods, [len(a0), len(a1)])
         qm, _ = np.linalg.qr(rng.normal(size=(64, 2, 2))
                              + 1j * rng.normal(size=(64, 2, 2)))
-        mu_batch = max(batch // 8, 1)
+        # floor at 256: with the r5 headline batch of 1024, batch//8 made
+        # the 96-step chain faster than RT jitter and the clamp below
+        # printed nonsense (the documented K-loop trap, CLAUDE.md)
+        mu_batch = max(batch // 8, 256)
         p0 = jnp.asarray(np.tile(np.frombuffer(a0, np.uint8), (mu_batch, 1)))
         p1 = jnp.asarray(np.tile(np.frombuffer(a1, np.uint8), (mu_batch, 1)))
         qd = jnp.asarray(_c2r2(qm.astype(np.complex64)))
 
-        K_MU = 96   # see K_TX: tiny per-step compute needs a long chain
+        K_MU = 256  # see K_TX: tiny per-step compute needs a long chain
 
         @jax.jit
         def mu_k(pa, pb, q):
