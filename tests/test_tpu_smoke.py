@@ -52,3 +52,21 @@ def test_flagship_rx_pipeline_compiles_and_decodes():
     from ieee80211_tpu.mac import deaggregate_vht
     subs = deaggregate_vht(psdu)
     assert subs and subs[0].fcs_ok and subs[0].mpdu == mpdu
+
+
+def test_dma_window_slice_compiles_and_matches():
+    """The Pallas DMA window-slice kernel (ops/pallas/gather.py) on real
+    Mosaic: whole-row DMA + dynamic rotates, vs the XLA dynamic_slice
+    formulation, element-exact on unaligned shapes and boundary starts."""
+    from ieee80211_tpu.ops.pallas.gather import batch_slice_iq_pallas
+
+    rng = np.random.default_rng(9)
+    b, n, L = 66, 2321, 2080             # unaligned everything
+    x2 = jnp.asarray(rng.standard_normal((b, n, 2)).astype(np.float32))
+    st = np.concatenate([[0, n - L], rng.integers(0, n - L, b - 2)])
+    st = jnp.asarray(st.astype(np.int32))
+    got = np.asarray(batch_slice_iq_pallas(x2, st, L))
+    xf = np.asarray(x2)
+    for r in range(b):
+        s = int(st[r])
+        np.testing.assert_array_equal(got[r], xf[r, s:s + L])
