@@ -328,10 +328,14 @@ def viterbi_decode_pallas(llrs: jnp.ndarray, cr: CR, n_bits: int,
         renorm = RENORM
     k = radix
     b = llrs.shape[0]
-    if pack is None:
-        pack = 8 // k
     tb = min(tb, -(-b // 128) * 128)
     n_blk = -(-(-(-n_bits // k)) // 8) * 8        # multiple of 8 groups
+    if pack is None:
+        # prefer UNPACKED survivors when they fit at the full batch tile:
+        # dropping the shift/or accumulator and its predicated regions
+        # measured ~4% on the headline shape (r5); pack only when packing
+        # is what keeps the tile from shrinking
+        pack = 1 if n_blk * 64 * tb <= 80 * 1024 * 1024 else 8 // k
     # survivor scratch is [n_blk/pack, 64, tb] int8 and must fit in VMEM:
     # shrink the batch tile for long trellises (e.g. 80 MHz high-MCS)
     while tb > 128 and n_blk // pack * 64 * tb > 80 * 1024 * 1024:

@@ -24,7 +24,7 @@ def main():
     import jax, jax.numpy as jnp
     from ieee80211_tpu.ops import sync, demod, coding
     from ieee80211_tpu.utils.riq import r2c
-    pipe, x, t0, mpdu = bench.build_batch(2048)
+    pipe, x, t0, mpdu = bench.build_batch(1024)
     xd, td = jnp.asarray(x), jnp.asarray(t0)
     B, W, _ = x.shape
     mod, n_sym = pipe.mod, pipe.n_sym
