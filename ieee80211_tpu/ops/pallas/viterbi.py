@@ -146,25 +146,41 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
                     # (n_low, npaths) sublane transpose
                     pm = jnp.swapaxes(m.reshape(n_low, npaths, TB),
                                       0, 1).reshape(64, TB)
-                    cand = (bm.reshape(npaths, npaths, n_low, TB)
-                            + pm.reshape(npaths, 1, n_low, TB))
-                    vs = [cand[p] for p in range(npaths)]
-                    is_ = [None] * npaths
-                    width = npaths
-                    while width > 1:
-                        for j in range(width // 2):
-                            a, b2 = 2 * j, 2 * j + 1
-                            upd = vs[b2] > vs[a]      # ties keep the
-                            va = jnp.where(upd, vs[b2], vs[a])  # lower p
-                            if is_[a] is None:
-                                ib = jnp.where(upd, jnp.int32(b2),
-                                               jnp.int32(a))
-                            else:
-                                ib = jnp.where(upd, is_[b2], is_[a])
-                            vs[j], is_[j] = va, ib
-                        width //= 2
-                    new_m = vs[0].reshape(64, TB)
-                    dec = is_[0].reshape(64, TB)
+                    bm4 = bm.reshape(npaths, npaths, n_low, TB)
+                    pm3 = pm.reshape(npaths, 1, n_low, TB)
+
+                    # fused add+merge: each path's candidate is computed
+                    # on the fly and folded immediately, so the [64*2^k,
+                    # TB] candidate tensor (4 MB/stage at full tile —
+                    # far beyond vector registers) is never materialized
+                    def cand_p(p):
+                        return bm4[p] + pm3[p]
+
+                    # two-level merge keeps <=5 [64, TB] planes live:
+                    # linear within groups of 4 (ties keep the lower p),
+                    # then a tree across the 4 group winners
+                    gv, gi = [], []
+                    for g0 in range(0, npaths, 4):
+                        va = cand_p(g0)
+                        ia = None
+                        for p in range(g0 + 1, g0 + 4):
+                            vb = cand_p(p)
+                            upd = vb > va
+                            va = jnp.where(upd, vb, va)
+                            ia = jnp.where(
+                                upd, jnp.int32(p),
+                                jnp.int32(g0) if ia is None else ia)
+                        gv.append(va)
+                        gi.append(ia)
+                    while len(gv) > 1:
+                        nv, ni = [], []
+                        for j in range(0, len(gv), 2):
+                            upd = gv[j + 1] > gv[j]
+                            nv.append(jnp.where(upd, gv[j + 1], gv[j]))
+                            ni.append(jnp.where(upd, gi[j + 1], gi[j]))
+                        gv, gi = nv, ni
+                    new_m = gv[0].reshape(64, TB)
+                    dec = gi[0].reshape(64, TB)
                 else:
                     # state s = hi * n_low + lo; predecessor of (s, path)
                     # is lo * npaths + path, so bm rows (s*npaths+p)
