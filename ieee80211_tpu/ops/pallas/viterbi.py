@@ -198,15 +198,16 @@ def _kernel(n_blk: int, chunk: int, k: int, TB: int = 128,
                             jnp.int32).reshape(64, TB)
                         new_m = jnp.max(cand, axis=2).reshape(64, TB)
 
+                # one unconditional store + a rare renorm region (two
+                # complementary pl.whens cost a predicated region EVERY
+                # stage; the re-store every renorm-th stage is cheaper)
+                m_ref[:] = new_m.astype(dt)
+
                 @pl.when(t % renorm == renorm - 1)
                 def _():
                     m_ref[:] = (new_m
                                 - jnp.max(new_m, axis=0,
                                           keepdims=True)).astype(dt)
-
-                @pl.when(t % renorm != renorm - 1)
-                def _():
-                    m_ref[:] = new_m.astype(dt)
 
                 if pack == 1:
                     dec_ref[t] = dec.astype(jnp.int8)
